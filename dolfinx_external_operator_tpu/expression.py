@@ -1,0 +1,115 @@
+"""Expression evaluation at reference points on cells.
+
+TPU-native replacement for ``dolfinx.fem.Expression`` + its C++ ``eval``
+(the operand->quadrature interpolation engine of the reference,
+``external_operator.py:393-402``): a batched, jitted gather + einsum of
+precomputed basis tabulations against cell dof arrays, with per-cell
+geometry (inverse Jacobians) for gradients.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from . import sym
+from .compile import CellBatch, Ctx, analyze, coefficient_inputs, eval_expr, geometry_factors
+from .mesh import Mesh
+
+__all__ = ["Expression"]
+
+_F = jnp.float64
+
+
+def _prod(shape):
+    n = 1
+    for s in shape:
+        n *= s
+    return n
+
+
+class Expression:
+    """Evaluate a symbolic expression at fixed reference points on cells.
+
+    ``eval(mesh, cells)`` returns an array of shape (n_cells, n_points) for
+    scalar expressions or (n_cells, n_points, value_size) otherwise —
+    matching the layout the reference demos unpack
+    (``C_tang_impl``: ``deps.shape == (num_cells, num_q, 4)``,
+    ``demo_plasticity_von_mises.py:343-348``)."""
+
+    def __init__(self, expr: sym.Expr, points: np.ndarray, dtype=None):
+        self.expr = sym.as_expr(expr)
+        self.points = np.asarray(points, dtype=np.float64)
+        self.dtype = dtype or _F
+        self.info = analyze(self.expr)
+        assert not self.info["arguments"], "Expression cannot contain test/trial functions"
+        self.functions = list(self.info["coeff_vals"])
+        self.constants = list(self.info["constants"])
+        self._cache = {}
+
+    def _compile(self, mesh: Mesh, cells_key, cells):
+        batch = CellBatch(mesh, self.points, cells)
+        plan = coefficient_inputs(self.info, batch)
+        expr = self.expr
+        nq = batch.nq
+        dphi_g = np.asarray(batch.dphi_g)
+        phi_g = np.asarray(batch.phi_g)
+        needs_x = self.info["needs_x"]
+        constants = self.constants
+        vshape = expr.shape
+        from .assembly import _coeff_values_at_qps  # shared helper
+
+        def elem_fn(coords, coeff_cell_data, const_vals):
+            J, Jinv, detJ = geometry_factors(coords, dphi_g)
+            cvals = _coeff_values_at_qps(plan, coeff_cell_data, Jinv)
+            consts = {c: v for c, v in zip(constants, const_vals)}
+            xq = jnp.einsum("qv,vg->qg", phi_g, coords) if needs_x else None
+            outs = []
+            for q in range(nq):
+                ctx = Ctx(
+                    coeff_val={f: v[0][q] for f, v in cvals.items()},
+                    coeff_grad={f: v[1][q] for f, v in cvals.items() if v[1] is not None},
+                    x=None if xq is None else xq[q],
+                    const=consts,
+                )
+                outs.append(eval_expr(expr, ctx))
+            return jnp.stack(outs)  # (nq, *shape)
+
+        vmapped = jax.vmap(elem_fn, in_axes=(0, 0, None))
+        kinds = [p[1] for p in plan]
+        bss = [f.function_space.bs for f in self.functions]
+        static = {
+            "coords": jnp.asarray(batch.coords, _F),
+            "cells": jnp.asarray(batch.cells),
+            "gathers": [
+                None if p[1] == "qp" else jnp.asarray(f.function_space.unrolled_dofmap[batch.cells])
+                for f, p in zip(self.functions, plan)
+            ],
+        }
+
+        def run(static, coeff_datas, const_vals):
+            cell_data = []
+            for kind, bs, gather, full in zip(kinds, bss, static["gathers"], coeff_datas):
+                if kind == "qp":
+                    cell_data.append(full.reshape(-1, nq * bs)[static["cells"]])
+                else:
+                    cell_data.append(full[gather])
+            vals = vmapped(static["coords"], cell_data, list(const_vals))  # (nc, nq, *shape)
+            if vshape == ():
+                return vals
+            return vals.reshape(vals.shape[0], nq, _prod(vshape))
+
+        return jax.jit(run), static
+
+    def eval(self, mesh: Mesh, cells: np.ndarray | None = None):
+        key = None if cells is None else (int(cells[0]) if len(cells) else 0, len(cells), int(np.sum(cells)) if len(cells) else 0)
+        hit = self._cache.get(key)
+        if hit is None:
+            hit = self._compile(mesh, key, cells)
+            self._cache[key] = hit
+        fn, static = hit
+        coeffs = [f.data for f in self.functions]
+        consts = [jnp.asarray(c.value, _F) for c in self.constants]
+        return fn(static, coeffs, consts)

@@ -1,0 +1,383 @@
+"""The external-operator core: symbolic node + evaluation pipeline.
+
+TPU-native rebuild of the reference package's heart
+(``src/dolfinx_external_operator/external_operator.py``) with the same
+four-function user contract:
+
+1. ``FEMExternalOperator(*operands, function_space=Q, external_function=f)``
+   — symbolic node owning a global quadrature-space coefficient
+   (reference ``external_operator.py:50-335``);
+2. ``replace_external_operators(form) -> (form', ops)``
+   (reference ``:670-684``);
+3. ``evaluate_operands(ops) -> {operand: array}`` (reference ``:338-404``);
+4. ``evaluate_external_operators(ops, operands)`` with derivative
+   multi-index dispatch and the tuple-aux-output protocol
+   (reference ``:407-448``).
+
+Differences by design (TPU-first):
+
+* Form differentiation is eager — ``sym.derivative`` applies the chain rule
+  directly, emitting ``tensordot(dN/do_i, D[o_i]{du})`` contractions with
+  the trailing-index semantics of the reference's
+  ``_apply_derivative_tensor`` (``:463-486``); there is no Action graph to
+  rewrite afterwards.
+* Coefficient write-back targets a device-resident jax array; the MPI ghost
+  scatter (``:445``) is a no-op under the owner-computes cell sharding.
+* Derivative nodes are cached on the parent operator, so repeated
+  ``derivative()`` calls reuse the same coefficient storage (the reference
+  allocates fresh coefficients on every ``expand_derivatives``).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+import jax.numpy as jnp
+
+from . import sym
+from .elements import Element, MixedElement, element as make_element, mixed_element, quadrature_element
+from .expression import Expression
+from .function import Function
+from .functionspace import FunctionSpace, functionspace
+
+__all__ = [
+    "FEMExternalOperator",
+    "evaluate_operands",
+    "evaluate_external_operators",
+    "replace_external_operators",
+    "unique_external_operators",
+]
+
+
+def _new_element_from_new_shape(element: Element, diff_shape, mesh) -> Element:
+    """Element with value shape extended by the derivative multi-index shape
+    (reference ``new_element_from_new_shape``, ``external_operator.py:29-46``)."""
+    new_shape = tuple(element.value_shape) + tuple(diff_shape)
+    if element.family == "quadrature":
+        return quadrature_element(mesh.cell_name(), degree=element.degree, value_shape=new_shape)
+    return make_element(
+        element.family, mesh.cell_name(), element.degree, shape=new_shape,
+        discontinuous=element.discontinuous,
+    )
+
+
+class FEMExternalOperator(sym.Expr):
+    """Finite element external operator (symbolic node + owned coefficient).
+
+    Rebuild of reference ``FEMExternalOperator`` (``external_operator.py:49-335``).
+    """
+
+    def __init__(
+        self,
+        *operands,
+        function_space: FunctionSpace,
+        external_function=None,
+        derivatives: tuple | None = None,
+        name: str | None = None,
+        coefficient: Function | None = None,
+        argument_slots=(),
+        dtype=None,
+        hidden_operands=None,
+    ):
+        self.ufl_operands = tuple(sym.as_expr(o) for o in operands)
+        for operand in self.ufl_operands:
+            fs = getattr(operand, "function_space", None)
+            if fs is not None and getattr(fs.element, "is_mixed", False):
+                raise TypeError(
+                    "Mixed element coefficients are not supported as external-operator operands: "
+                    f"operand {operand} is a mixed-space coefficient."
+                )
+        if coefficient is not None and coefficient.function_space != function_space:
+            raise TypeError("The provided coefficient must be defined on the same function space as the operator.")
+
+        self.function_space = function_space  # the *undifferentiated* space
+        self.derivatives = tuple(derivatives) if derivatives is not None else (0,) * len(self.ufl_operands)
+        assert len(self.derivatives) == len(self.ufl_operands)
+        self.argument_slots = tuple(argument_slots)
+        self.name = name
+        # optional extra state arrays passed positionally to the kernel after
+        # the operands (TPU extension; the reference reads module globals
+        # instead, e.g. sigma_n in demo_plasticity_von_mises.py:347)
+        self.hidden_operands = tuple(hidden_operands or ())
+
+        # derivative shape law: shape(dN) = shape(N) + sum_i shape(o_i) * e_i
+        # (reference external_operator.py:107-110; test oracle
+        # test_external_operators_construction.py:45)
+        diff_shape = ()
+        for i, e in enumerate(self.derivatives):
+            diff_shape += tuple(self.ufl_operands[i].shape) * e
+
+        if diff_shape != ():
+            mesh = function_space.mesh
+            original = function_space.element
+            if getattr(original, "is_mixed", False):
+                subs = [_new_element_from_new_shape(se, diff_shape, mesh) for se in original.sub_elements]
+                new_element = mixed_element(subs)
+            else:
+                new_element = _new_element_from_new_shape(original, diff_shape, mesh)
+            self.ref_function_space = functionspace(mesh, new_element)
+        else:
+            self.ref_function_space = function_space
+
+        self.shape = tuple(self.ref_function_space.value_shape)
+        self.operands = ()  # treated as a terminal by the generic DAG walkers
+
+        # evaluation points & write-back plan
+        el = self.ref_function_space.element
+        self._is_mixed = getattr(el, "is_mixed", False)
+        if self._is_mixed:
+            self._setup_mixed_plan()
+        else:
+            self.eval_points = el.interpolation_points
+            is_contiguous = el.family in ("quadrature", "DG")
+            if is_contiguous:
+                self.unrolled_dofmap = None
+                self._assign_func = self._assign_non_mixed_contiguous
+            else:
+                self.unrolled_dofmap = self.ref_function_space.unrolled_dofmap
+                self._assign_func = self._assign_non_mixed
+
+        if coefficient is not None:
+            self.ref_coefficient = coefficient
+        else:
+            self.ref_coefficient = Function(self.ref_function_space, name=name, dtype=dtype)
+        self.external_function = external_function
+        self._derivative_cache = {}
+        self._compiled_operands = {}
+
+    # -- mixed-space layout (reference external_operator.py:137-198) -----
+    def _setup_mixed_plan(self):
+        points = []
+        val_sizes = []
+        V = self.ref_function_space
+        for i in range(V.num_sub_spaces):
+            Vi = V.sub(i)
+            points.append(Vi.element.interpolation_points)
+            vs = Vi.value_shape
+            val_sizes.append(int(np.prod(vs)) if vs else 1)
+        self.eval_points = np.concatenate(points)
+        self._comp_size = max(val_sizes) if val_sizes else 1
+        self._mixed_subspace_info = []
+        offset = 0
+        for i in range(V.num_sub_spaces):
+            Vi = V.sub(i)
+            n_pts = Vi.element.interpolation_points.shape[0]
+            val_size = val_sizes[i]
+            if self._comp_size < val_size:
+                raise ValueError(f"Unsupported mixed element layout for subspace {i}")
+            flat_dofs = (Vi.unrolled_dofmap + Vi.sub_offset).ravel()
+            self._mixed_subspace_info.append(
+                {
+                    "n_pts": n_pts,
+                    "val_size": val_size,
+                    "dofs_per_cell": Vi.unrolled_dofmap.shape[1],
+                    "flat_dofs": flat_dofs,
+                    "offset": offset,
+                }
+            )
+            offset += n_pts
+        self._n_points_total = offset
+        self._assign_func = self._assign_mixed_2d if self._comp_size == 1 else self._assign_mixed_3d
+
+    # -- symbolic identity ------------------------------------------------
+    def _key(self):
+        return ("FEMExternalOperator", id(self))
+
+    def __eq__(self, other):
+        return self is other
+
+    def __hash__(self):
+        return id(self)
+
+    def __str__(self):
+        d = "\N{PARTIAL DIFFERENTIAL}"
+        nm = self.name if self.name is not None else "e"
+        d_ops = "".join(d + "o" + str(i + 1) for i, di in enumerate(self.derivatives) for _ in range(di))
+        s = f"{nm}({', '.join(str(o) for o in self.ufl_operands)})"
+        return s + "/" + d_ops if sum(self.derivatives) > 0 else s
+
+    def filtering_hash(self):
+        return (tuple(id(o) for o in self.ufl_operands), self.derivatives, id(self.function_space))
+
+    # -- differentiation ---------------------------------------------------
+    def _derivative_node(self, i: int) -> "FEMExternalOperator":
+        """dN/do_i: a new operator with the multi-index incremented at i
+        (reference ``_ufl_expr_reconstruct_``, ``external_operator.py:221-254``).
+        Cached so repeated ``derivative()`` calls reuse one coefficient."""
+        hit = self._derivative_cache.get(i)
+        if hit is not None:
+            return hit
+        new_derivs = tuple(e + (1 if j == i else 0) for j, e in enumerate(self.derivatives))
+        d = "\N{PARTIAL DIFFERENTIAL}"
+        d_ops = "/" + "".join(d + "o" + str(j + 1) for j, dj in enumerate(new_derivs) for _ in range(dj))
+        node = type(self)(
+            *self.ufl_operands,
+            function_space=self.function_space,
+            external_function=self.external_function,
+            derivatives=new_derivs,
+            name=d + (self.ref_coefficient.name or "e") + d_ops,
+            dtype=self.ref_coefficient.dtype,
+            hidden_operands=self.hidden_operands,
+        )
+        self._derivative_cache[i] = node
+        return node
+
+    def _reconstruct_with_operands(self, new_operands):
+        if all(n is o for n, o in zip(new_operands, self.ufl_operands)):
+            return self
+        return type(self)(
+            *new_operands,
+            function_space=self.function_space,
+            external_function=self.external_function,
+            derivatives=self.derivatives,
+            name=self.name,
+            coefficient=self.ref_coefficient,
+            hidden_operands=self.hidden_operands,
+        )
+
+    # -- write-back plans (reference external_operator.py:286-335) ---------
+    def _assign_non_mixed_contiguous(self, values):
+        self.ref_coefficient._data = jnp.asarray(values, self.ref_coefficient.dtype).reshape(
+            self.ref_coefficient._data.shape
+        )
+
+    def _assign_non_mixed(self, values):
+        f = self.ref_coefficient
+        f._data = f._data.at[jnp.asarray(self.unrolled_dofmap.ravel())].set(
+            jnp.asarray(values, f.dtype).reshape(-1)
+        )
+
+    def _assign_mixed_2d(self, values):
+        f = self.ref_coefficient
+        values = jnp.asarray(values, f.dtype)
+        if values.ndim == 1:
+            values = values.reshape(-1, self._n_points_total)
+        data = f._data
+        for info in self._mixed_subspace_info:
+            block = values[:, info["offset"]: info["offset"] + info["n_pts"]]
+            data = data.at[jnp.asarray(info["flat_dofs"])].set(block.reshape(-1))
+        f._data = data
+
+    def _assign_mixed_3d(self, values):
+        f = self.ref_coefficient
+        values = jnp.asarray(values, f.dtype)
+        if values.ndim == 1:
+            values = values.reshape(-1, self._n_points_total, self._comp_size)
+        n_cells = values.shape[0]
+        data = f._data
+        for info in self._mixed_subspace_info:
+            chunk = values[:, info["offset"]: info["offset"] + info["n_pts"], : info["val_size"]]
+            block = chunk.reshape(n_cells, info["dofs_per_cell"])
+            data = data.at[jnp.asarray(info["flat_dofs"])].set(block.reshape(-1))
+        f._data = data
+
+
+# ----------------------------------------------------------------------
+# Evaluation pipeline
+# ----------------------------------------------------------------------
+
+def evaluate_operands(external_operators, entities=None):
+    """Evaluate each unique operand at the operators' quadrature points.
+
+    Rebuild of reference ``evaluate_operands`` (``external_operator.py:338-404``):
+    per-operand compiled ``Expression`` objects are cached on the operator;
+    nested external-operator operands recurse.  ``entities`` restricts the
+    cell set (codim-0 submesh case; for codim-1 use the facet-space pipeline
+    in ``codim.py``).
+
+    Returns a dict mapping operand -> jnp array of shape
+    (n_cells, n_pts) or (n_cells, n_pts, value_size).
+    """
+    if len(external_operators) == 0:
+        return {}
+    evaluated = {}
+    for ex_op in external_operators:
+        mesh = ex_op.ref_function_space.mesh
+        for operand in ex_op.ufl_operands:
+            if operand in evaluated:
+                continue
+            if isinstance(operand, FEMExternalOperator):
+                evaluated[operand] = evaluate_operands([operand], entities)
+                continue
+            expr = ex_op._compiled_operands.get(operand)
+            if expr is None:
+                expr = Expression(operand, ex_op.eval_points, dtype=ex_op.ref_coefficient.dtype)
+                ex_op._compiled_operands[operand] = expr
+            evaluated[operand] = expr.eval(mesh, entities)
+    return evaluated
+
+
+def evaluate_external_operators(external_operators, evaluated_operands):
+    """Call each operator's kernel and write the result into its coefficient.
+
+    Rebuild of reference ``evaluate_external_operators``
+    (``external_operator.py:407-448``) including:
+    - derivative multi-index dispatch via ``external_function(derivatives)``,
+    - the tuple-aux-output protocol (first entry is written back, the rest
+      are returned to the caller, cf. ``demo_plasticity_von_mises.py:343-352``),
+    - nested-operator recursion.
+    """
+    results = []
+    for ex_op in external_operators:
+        args = []
+        for operand in ex_op.ufl_operands:
+            if isinstance(operand, FEMExternalOperator):
+                args.extend(evaluate_external_operators([operand], evaluated_operands[operand]))
+            else:
+                args.append(evaluated_operands[operand])
+        for h in ex_op.hidden_operands:
+            args.append(h.data if isinstance(h, Function) else h)
+
+        out = ex_op.external_function(ex_op.derivatives)(*args)
+        values = out[0] if type(out) is tuple else out
+        ex_op._assign_func(values)
+        ex_op.ref_coefficient.x.scatter_forward()  # no-op (owner computes)
+        results.append(out)
+    return results
+
+
+def unique_external_operators(external_operators):
+    seen = set()
+    out = []
+    for op in external_operators:
+        h = op.filtering_hash()
+        if h not in seen:
+            seen.add(h)
+            out.append(op)
+    return out
+
+
+def replace_external_operators(form):
+    """Replace operator nodes by their coefficients; collect them in
+    dependency order (operands before parents — reference
+    ``ExternalOperatorReplacer``, ``external_operator.py:651-659``)."""
+    ops = []
+
+    def collect(op):
+        for operand in op.ufl_operands:
+            for nested in sym.extract_external_operators(operand):
+                collect(nested)
+        if op not in ops:
+            ops.append(op)
+
+    def rep(e, memo):
+        hit = memo.get(id(e))
+        if hit is not None:
+            return hit
+        if isinstance(e, FEMExternalOperator):
+            collect(e)
+            out = e.ref_coefficient
+        elif e.operands:
+            new = tuple(rep(o, memo) for o in e.operands)
+            out = sym._reconstruct(e, new) if any(n is not o for n, o in zip(new, e.operands)) else e
+        else:
+            out = e
+        memo[id(e)] = out
+        return out
+
+    if isinstance(form, sym.Form):
+        memo = {}
+        new_form = sym.Form([sym.Integral(rep(itg.integrand, memo), itg.measure) for itg in form.integrals])
+        return new_form, ops
+    # bare expression
+    return rep(form, {}), ops
