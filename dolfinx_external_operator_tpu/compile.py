@@ -227,6 +227,9 @@ def _eval(expr, ctx, memo):
         g = _eval_grad_of(expr.operands[0], ctx, memo, expr.gdim)
         return jnp.trace(g, axis1=-2, axis2=-1)
 
+    if t is sym.Variable:
+        return eval_expr(expr.operands[0], ctx, memo)
+
     ops = [eval_expr(o, ctx, memo) for o in expr.operands]
     if t is sym.Sum:
         return ops[0] + ops[1]

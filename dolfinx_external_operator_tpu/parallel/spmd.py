@@ -1,0 +1,317 @@
+"""Fused SPMD plasticity step: the TPU production path.
+
+The flexible API (sym/assembly/solvers) mirrors the reference's layering;
+this module is the TPU-first hot path that replaces the whole
+"SNES residual callback -> Expression.eval -> user kernel -> assemble ->
+MUMPS" stack (reference call stack 3.3, SURVEY.md) with ONE jitted,
+shard_map-able function per load step:
+
+  deps = B @ u_cell                    (einsum over precomputed B-matrices)
+  C_tang, sigma = vmapped return map   (the external operator kernel)
+  r = scatter(B^T sigma) - load        (segment_sum; psum over shards)
+  K dx = -r                            (matrix-free Jacobi-CG; the ONLY
+                                        collectives are the psum of the
+                                        matvec scatter — Krylov dots act on
+                                        replicated vectors)
+  Newton loop via lax.while_loop       (zero host round-trips per step)
+
+Sharding layout (owner-computes, BASELINE.json north star): the cell axis is
+sharded over a 1D ``jax.sharding.Mesh``; Gauss-point state (sigma_n) lives
+sharded in HBM; global dof vectors are replicated.  The forward ghost
+scatter of the reference (``external_operator.py:445``) does not exist here.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+from jax import shard_map
+from jax.sharding import Mesh as JaxMesh
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+from ..compile import geometry_factors
+from ..elements import Element
+from ..mesh import Mesh
+from ..quadrature import make_quadrature
+
+__all__ = ["FusedPlasticityStep", "make_device_mesh"]
+
+_F = jnp.float64
+
+
+def make_device_mesh(n_devices=None, axis="cells"):
+    devs = jax.devices()
+    n = len(devs) if n_devices is None else n_devices
+    return JaxMesh(np.array(devs[:n]), (axis,))
+
+
+def _pad_to(x, n, value=0):
+    pad = n - x.shape[0]
+    if pad == 0:
+        return x
+    padding = [(0, pad)] + [(0, 0)] * (x.ndim - 1)
+    return np.pad(x, padding, mode="constant", constant_values=value)
+
+
+class FusedPlasticityStep:
+    """Fully fused load step for vector-displacement / quadrature-stress
+    plasticity (the von Mises & Mohr-Coulomb pattern).
+
+    Parameters
+    ----------
+    mesh, V, S : the framework mesh, displacement space (blocked vector
+        Lagrange), and stress quadrature space.
+    kernel : per-Gauss-point ``(deps(4,), sigma_n(4,)) -> (C_tang(4,4),
+        sigma(4,))`` consistent-tangent return map (pure JAX).
+    bc_dofs, bc_vals : Dirichlet data on the displacement space.
+    body_force : callable ``v -> load_vector`` is replaced by a constant
+        body-force direction; per-step magnitude scales it.
+    device_mesh : optional jax.sharding.Mesh over a "cells" axis.
+    """
+
+    def __init__(self, mesh: Mesh, V, S, kernel, bc_dofs, bc_vals=None,
+                 body_dir=(0.0, -1.0), device_mesh: JaxMesh | None = None,
+                 newton_atol=1e-8, newton_rtol=1e-8, newton_max_it=100,
+                 cg_rtol=1e-13, cg_maxiter=10000):
+        self.mesh = mesh
+        self.V = V
+        self.S = S
+        self.kernel = kernel
+        self.device_mesh = device_mesh
+        self.newton_atol = newton_atol
+        self.newton_rtol = newton_rtol
+        self.newton_max_it = newton_max_it
+        self.cg_rtol = cg_rtol
+
+        qdeg = S.element.degree
+        qpts, qwts = make_quadrature(mesh.cell_type, qdeg)
+        nq = qpts.shape[0]
+        self.nq = nq
+        geo = Element("Lagrange", mesh.cell_type, 1)
+        phi_g, dphi_g = geo.tabulate(qpts)
+        phi_u, dphi_u = V.element.tabulate(qpts)  # scalar basis of V
+        nb = phi_u.shape[1]
+        bs = V.bs
+        assert bs == 2, "fused path currently implements the 2D Mandel pattern"
+        self.n_dofs = V.num_dofs
+        self.cg_maxiter = cg_maxiter
+
+        # host precompute: per-cell geometry and B-matrices
+        coords = mesh.points[mesh.cells]  # (nc, nv, g)
+        J = np.einsum("qvd,cvg->cqgd", dphi_g, coords)
+        detJ = np.abs(np.linalg.det(J))
+        Jinv = np.linalg.inv(J)
+        gp = np.einsum("qbd,cqdg->cqbg", dphi_u, Jinv)  # scalar-basis phys grads
+        nc = mesh.num_cells
+        # B: (nc, nq, 4, nb*bs) strain-displacement in Mandel notation
+        B = np.zeros((nc, nq, 4, nb * bs))
+        B[:, :, 0, 0::2] = gp[:, :, :, 0]                    # e_xx = du_x/dx
+        B[:, :, 1, 1::2] = gp[:, :, :, 1]                    # e_yy = du_y/dy
+        s2 = np.sqrt(2.0) * 0.5
+        B[:, :, 3, 0::2] = s2 * gp[:, :, :, 1]               # sqrt2 e_xy
+        B[:, :, 3, 1::2] = s2 * gp[:, :, :, 0]
+        self._wdet = detJ * qwts[None, :]  # (nc, nq)
+
+        # body-force element vector for unit magnitude: f_cell[k] = int N_k b
+        Nmat = np.zeros((nq, 2, nb * bs))
+        Nmat[:, 0, 0::2] = phi_u
+        Nmat[:, 1, 1::2] = phi_u
+        bdir = np.asarray(body_dir, dtype=np.float64)
+        f_cell = np.einsum("cq,qik,i->ck", self._wdet, Nmat, bdir)
+
+        dofmap = V.unrolled_dofmap  # (nc, nb*bs)
+
+        # padding for even sharding
+        ndev = 1 if device_mesh is None else device_mesh.devices.size
+        nc_pad = ((nc + ndev - 1) // ndev) * ndev
+        self.nc, self.nc_pad = nc, nc_pad
+        B = _pad_to(B, nc_pad)
+        wdet = _pad_to(self._wdet, nc_pad)
+        f_cell = _pad_to(f_cell, nc_pad)
+        # padded cells scatter into a dummy dof slot
+        dofmap_p = _pad_to(dofmap.astype(np.int64), nc_pad, value=self.n_dofs)
+
+        self.bc_mask_np = np.zeros(self.n_dofs, dtype=bool)
+        self.bc_mask_np[np.asarray(bc_dofs, dtype=np.int64)] = True
+        bc_vals_np = np.zeros(self.n_dofs)
+        if bc_vals is not None:
+            bc_vals_np[np.asarray(bc_dofs, dtype=np.int64)] = bc_vals
+
+        self.statics = {
+            "B": jnp.asarray(B, _F),
+            "wdet": jnp.asarray(wdet, _F),
+            "f_cell": jnp.asarray(f_cell, _F),
+            "dofmap": jnp.asarray(dofmap_p),
+            "bc_mask": jnp.asarray(self.bc_mask_np),
+            "bc_vals": jnp.asarray(bc_vals_np, _F),
+        }
+        self._vkernel = jax.vmap(kernel)
+
+        if device_mesh is not None:
+            spec_cells = P("cells")
+            shard = NamedSharding(device_mesh, spec_cells)
+            for k in ("B", "wdet", "f_cell", "dofmap"):
+                self.statics[k] = jax.device_put(self.statics[k], shard)
+            repl = NamedSharding(device_mesh, P())
+            for k in ("bc_mask", "bc_vals"):
+                self.statics[k] = jax.device_put(self.statics[k], repl)
+
+        self._step = self._build_step()
+
+    # ------------------------------------------------------------------
+    def _local_ops(self):
+        """Core per-shard computations (identical with/without shard_map)."""
+        n_dofs = self.n_dofs
+        nq = self.nq
+        vkernel = self._vkernel
+
+        def gather(dofmap, u):
+            u_ext = jnp.concatenate([u, jnp.zeros(1, _F)])
+            return u_ext[dofmap]  # (nc_loc, nk)
+
+        def scatter(dofmap, cell_vals, psum):
+            out = jax.ops.segment_sum(cell_vals.ravel(), dofmap.ravel(), num_segments=n_dofs + 1)[:-1]
+            return psum(out)
+
+        def constitutive(st, Du, sigma_n, psum):
+            u_cell = gather(st["dofmap"], Du)
+            deps = jnp.einsum("cqik,ck->cqi", st["B"], u_cell)
+            nc_loc = deps.shape[0]
+            C_tang, sigma = vkernel(deps.reshape(-1, 4), sigma_n.reshape(-1, 4))
+            return C_tang.reshape(nc_loc, nq, 4, 4), sigma.reshape(nc_loc, nq, 4)
+
+        def residual(st, sigma, load, psum):
+            r_cell = jnp.einsum("cqik,cqi,cq->ck", st["B"], sigma, st["wdet"])
+            r = scatter(st["dofmap"], r_cell, psum)
+            f = scatter(st["dofmap"], st["f_cell"], psum) * load
+            return r - f
+
+        def tangent_matvec(st, C_tang, x, psum):
+            x_cell = gather(st["dofmap"], x)
+            dde = jnp.einsum("cqik,ck->cqi", st["B"], x_cell)
+            dsig = jnp.einsum("cqij,cqj->cqi", C_tang, dde)
+            k_cell = jnp.einsum("cqik,cqi,cq->ck", st["B"], dsig, st["wdet"])
+            return scatter(st["dofmap"], k_cell, psum)
+
+        def tangent_diag(st, C_tang, psum):
+            # diag(K) = sum_cq w B_iq[k] C_ij B_jq[k]
+            d_cell = jnp.einsum("cqik,cqij,cqjk,cq->ck", st["B"], C_tang, st["B"], st["wdet"])
+            return scatter(st["dofmap"], d_cell, psum)
+
+        return constitutive, residual, tangent_matvec, tangent_diag
+
+    def _build_step(self):
+        constitutive, residual, tangent_matvec, tangent_diag = self._local_ops()
+        atol, rtol, max_it = self.newton_atol, self.newton_rtol, self.newton_max_it
+        cg_rtol, cg_maxiter = self.cg_rtol, self.cg_maxiter
+        dm = self.device_mesh
+
+        def apply_bc_res(st, r, Du):
+            return jnp.where(st["bc_mask"], Du - st["bc_vals"], r)
+
+        def cg_solve(st, C_tang, b, psum):
+            mask = st["bc_mask"]
+            diag = tangent_diag(st, C_tang, psum)
+            diag = jnp.where(mask, 1.0, diag)
+            Minv = 1.0 / diag
+
+            def mv(x):
+                y = tangent_matvec(st, C_tang, jnp.where(mask, 0.0, x), psum)
+                return jnp.where(mask, x, y)
+
+            x = jnp.zeros_like(b)
+            r = b - mv(x)
+            z = Minv * r
+            rz = jnp.vdot(r, z)
+            p = z
+            bnorm = jnp.sqrt(jnp.vdot(b, b))
+            target = cg_rtol * bnorm
+
+            def cond(sta):
+                x, r, z, p, rz, k = sta
+                return jnp.logical_and(jnp.sqrt(jnp.vdot(r, r)) > target, k < cg_maxiter)
+
+            def body(sta):
+                x, r, z, p, rz, k = sta
+                Ap = mv(p)
+                alpha = rz / jnp.vdot(p, Ap)
+                x = x + alpha * p
+                r = r - alpha * Ap
+                z = Minv * r
+                rz2 = jnp.vdot(r, z)
+                p = z + (rz2 / rz) * p
+                return (x, r, z, p, rz2, k + 1)
+
+            x, r, z, p, rz, k = jax.lax.while_loop(cond, body, (x, r, z, p, rz, 0))
+            return x, k
+
+        def one_step_core(st, Du, sigma_n, load, psum):
+            """Full Newton solve of one load step; returns converged state."""
+
+            def newton_residual(Du):
+                C_tang, sigma = constitutive(st, Du, sigma_n, psum)
+                r = residual(st, sigma, load, psum)
+                r = apply_bc_res(st, r, Du)
+                return r, C_tang, sigma
+
+            r0, C0, sig0 = newton_residual(Du)
+            norm0 = jnp.sqrt(jnp.vdot(r0, r0))
+
+            def cond(state):
+                Du, r, C_tang, sigma, norm, it, cg_tot = state
+                return jnp.logical_and(
+                    jnp.logical_and(norm >= atol, norm >= rtol * norm0),
+                    it < max_it,
+                )
+
+            def body(state):
+                Du, r, C_tang, sigma, norm, it, cg_tot = state
+                dx, cg_k = cg_solve(st, C_tang, -r, psum)
+                Du = Du + dx
+                r, C_tang, sigma = newton_residual(Du)
+                return (Du, r, C_tang, sigma, jnp.sqrt(jnp.vdot(r, r)), it + 1, cg_tot + cg_k)
+
+            Du, r, C_tang, sigma, norm, it, cg_tot = jax.lax.while_loop(
+                cond, body, (Du, r0, C0, sig0, norm0, 0, 0)
+            )
+            return Du, sigma, norm, it, cg_tot
+
+        if dm is None:
+            def step(st, Du, sigma_n, load):
+                return one_step_core(st, Du, sigma_n, load, lambda x: x)
+
+            return jax.jit(step)
+
+        st_spec = {
+            "B": P("cells"), "wdet": P("cells"), "f_cell": P("cells"),
+            "dofmap": P("cells"), "bc_mask": P(), "bc_vals": P(),
+        }
+        psum = lambda x: jax.lax.psum(x, "cells")
+
+        @partial(
+            shard_map, mesh=dm,
+            in_specs=(st_spec, P(), P("cells"), P()),
+            out_specs=(P(), P("cells"), P(), P(), P()),
+        )
+        def sharded_step(st, Du, sigma_n, load):
+            return one_step_core(st, Du, sigma_n, load, psum)
+
+        return jax.jit(sharded_step)
+
+    # ------------------------------------------------------------------
+    def run_step(self, Du, sigma_n, load):
+        """One load step: (Du, sigma_n (nc_pad, nq, 4), load scalar) ->
+        (Du_new, sigma (nc_pad, nq, 4), residual_norm, newton_its, cg_its)."""
+        return self._step(self.statics, Du, sigma_n, jnp.asarray(load, _F))
+
+    def zero_state(self):
+        sig = jnp.zeros((self.nc_pad, self.nq, 4), _F)
+        Du = jnp.zeros(self.n_dofs, _F)
+        if self.device_mesh is not None:
+            sig = jax.device_put(sig, NamedSharding(self.device_mesh, P("cells")))
+            Du = jax.device_put(Du, NamedSharding(self.device_mesh, P()))
+        return Du, sig

@@ -28,6 +28,7 @@ __all__ = [
     "grad", "div", "inner", "dot", "outer", "tr", "sym", "dev", "transpose",
     "sqrt", "exp", "ln", "sin", "cos", "abs_", "sign", "conditional", "le", "ge", "lt", "gt",
     "as_vector", "as_matrix", "as_tensor", "tensordot",
+    "variable", "diff", "det", "Variable",
     "Measure", "Integral", "Form", "derivative", "expand_derivatives",
     "extract_coefficients", "extract_external_operators", "map_expr",
     "replace", "action", "adjoint", "split",
@@ -79,6 +80,12 @@ class Expr:
 
     def __neg__(self):
         return neg(self)
+
+    def __matmul__(self, other):
+        return dot(self, as_expr(other))
+
+    def __rmatmul__(self, other):
+        return dot(as_expr(other), self)
 
     def __getitem__(self, idx):
         if not isinstance(idx, tuple):
@@ -354,6 +361,32 @@ class AsTensor(Expr):
         return ("AsTensor", self.shape, self.operands)
 
 
+class Variable(Expr):
+    """Tag a sub-expression so forms can be differentiated w.r.t. it.
+
+    Mirror of ``ufl.variable`` + ``ufl.diff`` (used by the hyperelasticity
+    demo, reference ``demo_hyperelasticity.py:479,700``): transparent for
+    evaluation and for Gateaux differentiation w.r.t. coefficients, but acts
+    as the differentiation target for ``diff(expr, var)``."""
+
+    _counter = [0]
+
+    def __init__(self, expr):
+        self.operands = (expr,)
+        self.shape = expr.shape
+        Variable._counter[0] += 1
+        self._id = Variable._counter[0]
+
+    def _key(self):
+        return ("Variable", self._id)
+
+    def __eq__(self, other):
+        return self is other or (isinstance(other, Variable) and other._id == self._id)
+
+    def __hash__(self):
+        return hash(("Variable", self._id))
+
+
 class TensorDot(Expr):
     """Contract the trailing ``n`` axes of ``a`` with ALL axes of ``b``.
 
@@ -598,6 +631,48 @@ def as_matrix(entries):
     return as_tensor([list(r) for r in entries])
 
 
+def variable(expr):
+    return Variable(as_expr(expr))
+
+
+def det(a):
+    """Determinant of a 2x2 or 3x3 tensor expression (composed symbolically)."""
+    a = as_expr(a)
+    n = a.shape[0]
+    assert a.shape == (n, n)
+    if n == 1:
+        return a[0, 0]
+    if n == 2:
+        return a[0, 0] * a[1, 1] - a[0, 1] * a[1, 0]
+    if n == 3:
+        return (
+            a[0, 0] * (a[1, 1] * a[2, 2] - a[1, 2] * a[2, 1])
+            - a[0, 1] * (a[1, 0] * a[2, 2] - a[1, 2] * a[2, 0])
+            + a[0, 2] * (a[1, 0] * a[2, 1] - a[1, 1] * a[2, 0])
+        )
+    raise NotImplementedError(n)
+
+
+def diff(expr, var: Variable):
+    """Tensor derivative d expr / d var (ufl.diff semantics).
+
+    For scalar ``expr`` and rank-2 ``var`` returns shape var.shape with
+    entries d expr / d var_ij, computed by Gateaux differentiation in unit
+    tensor directions."""
+    assert isinstance(var, Variable)
+    assert expr.shape == (), "diff currently implemented for scalar expressions"
+    entries = []
+    for idx in np.ndindex(var.shape) if var.shape else [()]:
+        direction = np.zeros(var.shape) if var.shape else np.float64(1.0)
+        if var.shape:
+            direction[idx] = 1.0
+        memo = {}
+        entries.append(_gateaux(expr, var, Literal(direction), memo))
+    if not var.shape:
+        return entries[0]
+    return as_tensor(entries, var.shape)
+
+
 def tensordot(a, b, n):
     if n == 0:
         return mul(b, a) if b.shape == () else mul(a, b)
@@ -797,6 +872,8 @@ def _reconstruct(expr, new_operands):
         return as_tensor(list(new_operands), expr.shape)
     if t is TensorDot:
         return tensordot(new_operands[0], new_operands[1], expr.n)
+    if t is Variable:
+        return Variable(new_operands[0])
     from .external_operator import FEMExternalOperator
 
     if isinstance(expr, FEMExternalOperator):
@@ -857,6 +934,9 @@ def _gateaux_impl(expr, u, du, memo):
             dN = expr._derivative_node(i)
             total = add(total, tensordot(dN, dop, len(op.shape)))
         return total
+    if isinstance(expr, Variable):
+        # transparent unless it IS the differentiation target (handled above)
+        return _gateaux(expr.operands[0], u, du, memo)
     if isinstance(expr, (Zero, Literal, Constant, Argument, SpatialCoordinate, FacetNormal)) or (
         isinstance(expr, Function) and expr is not u
     ):
