@@ -56,11 +56,35 @@ def _prod(shape):
 # Kernel construction for one integral on one cell batch
 # ----------------------------------------------------------------------
 
-def _basis_arrays(space, phi, dphi, Jinv):
+def _basis_arrays(space, tab, Jinv):
     """Blocked basis values/gradients for all element dofs of one cell.
 
-    phi (nq, nb), dphi (nq, nb, tdim), Jinv (nq, tdim, gdim).
-    Returns tv (nk, nq, *vs), tg (nk, nq, *vs, gdim) with k = i*bs + comp."""
+    tab = (phi (nq, nb), dphi (nq, nb, tdim)) — or a list of per-sub tabs
+    for mixed spaces.  Jinv (nq, tdim, gdim).
+    Returns tv (nk, nq, *vs), tg (nk, nq, *vs, gdim) with k = i*bs + comp
+    (mixed: sub-space blocks concatenated along k, values embedded in the
+    flattened mixed vector shape)."""
+    if space.num_sub_spaces > 0:
+        vs_total = space.value_shape[0]
+        g = Jinv.shape[-1]
+        tvs, tgs = [], []
+        off = 0
+        for i in range(space.num_sub_spaces):
+            sub = space.sub(i)
+            tv_s, tg_s = _basis_arrays(sub, tab[i], Jinv)
+            nk, nq = tv_s.shape[0], tv_s.shape[1]
+            bs_s = sub.bs
+            tv_flat = tv_s.reshape(nk, nq, bs_s)
+            tg_flat = tg_s.reshape(nk, nq, bs_s, g)
+            tv_pad = jnp.zeros((nk, nq, vs_total), _F).at[:, :, off: off + bs_s].set(tv_flat)
+            tg_pad = jnp.zeros((nk, nq, vs_total, g), _F).at[:, :, off: off + bs_s, :].set(tg_flat)
+            tvs.append(tv_pad)
+            tgs.append(tg_pad)
+            off += bs_s
+        return jnp.concatenate(tvs, axis=0), jnp.concatenate(tgs, axis=0)
+    phi, dphi = tab
+    phi = jnp.asarray(phi, _F)
+    dphi = jnp.asarray(dphi, _F)
     bs = space.bs
     vshape = tuple(space.value_shape)
     nq, nb = phi.shape
@@ -81,6 +105,22 @@ def _coeff_values_at_qps(plan, coeff_cell_data, Jinv):
     out = {}
     for (f, kind, static), data in zip(plan, coeff_cell_data):
         vshape = tuple(f.function_space.value_shape)
+        if kind == "tab_mixed":
+            tabs, subs, needs_grad = static
+            g = Jinv.shape[-1]
+            off = 0
+            vals_parts, grads_parts = [], []
+            for (phi, dphi), (nb, bs) in zip(tabs, subs):
+                d2 = data[off: off + nb * bs].reshape(nb, bs)
+                off += nb * bs
+                vals_parts.append(jnp.einsum("qb,bk->qk", jnp.asarray(phi, _F), d2))
+                if needs_grad:
+                    gp = jnp.einsum("qbd,qdg->qbg", jnp.asarray(dphi, _F), Jinv)
+                    grads_parts.append(jnp.einsum("qbg,bk->qkg", gp, d2))
+            vals = jnp.concatenate(vals_parts, axis=1)  # (nq, vs_total)
+            grads = jnp.concatenate(grads_parts, axis=1) if needs_grad else None
+            out[f] = (vals, grads)
+            continue
         if kind == "qp":
             nq_bs = data.shape[0]
             bs = f.function_space.bs
@@ -203,11 +243,16 @@ class _IntegralKernel:
         needs_x = info["needs_x"]
         needs_normal = info["needs_normal"]
 
+        def _tab(space):
+            if space.num_sub_spaces > 0:
+                return [space.sub(i).tabulate(batch.points) for i in range(space.num_sub_spaces)]
+            return tuple(np.asarray(a) for a in space.tabulate(batch.points))
+
         tabs = {}
         if test_space is not None:
-            tabs[0] = tuple(np.asarray(a) for a in test_space.tabulate(batch.points))
+            tabs[0] = _tab(test_space)
         if trial_space is not None:
-            tabs[1] = tuple(np.asarray(a) for a in trial_space.tabulate(batch.points))
+            tabs[1] = _tab(trial_space)
 
         D = None if facet_dir is None else np.asarray(facet_dir)
 
@@ -256,7 +301,7 @@ class _IntegralKernel:
                     acc += eval_expr(integrand, point_ctx(q)) * wts[q] * scale[q]
                 return acc
 
-            tv, tg = _basis_arrays(test_space, *tabs[0], Jinv)
+            tv, tg = _basis_arrays(test_space, tabs[0], Jinv)
             if rank == 1:
                 def for_test(tvk, tgk):
                     acc = 0.0
@@ -266,7 +311,7 @@ class _IntegralKernel:
 
                 return jax.vmap(for_test)(tv, tg)
 
-            uv, ug = _basis_arrays(trial_space, *tabs[1], Jinv)
+            uv, ug = _basis_arrays(trial_space, tabs[1], Jinv)
 
             def for_pair(tvk, tgk, uvj, ugj):
                 acc = 0.0

@@ -194,9 +194,22 @@ def _eval_grad_of(e, ctx, memo, gdim):
         return jnp.eye(gdim, dtype=_F)
     if isinstance(e, (Constant, sym.Literal, sym.Zero)):
         return jnp.zeros(e.shape + (gdim,), dtype=_F)
-    # linear push-down
+    # linear push-down through shape-manipulating / linear nodes
     if isinstance(e, sym.Sum):
         return _eval_grad_of(e.operands[0], ctx, memo, gdim) + _eval_grad_of(e.operands[1], ctx, memo, gdim)
+    if isinstance(e, sym.Variable):
+        return _eval_grad_of(e.operands[0], ctx, memo, gdim)
+    if isinstance(e, sym.Indexed):
+        return _eval_grad_of(e.operands[0], ctx, memo, gdim)[e.idx]
+    if isinstance(e, sym.AsTensor):
+        grads = [_eval_grad_of(o, ctx, memo, gdim) for o in e.operands]
+        return jnp.stack(grads).reshape(e.shape + (gdim,))
+    if isinstance(e, sym.Product) and isinstance(e.operands[0], (sym.Literal, Constant)):
+        s = eval_expr(e.operands[0], ctx, memo)
+        return s * _eval_grad_of(e.operands[1], ctx, memo, gdim)
+    if isinstance(e, sym.Transpose):
+        g = _eval_grad_of(e.operands[0], ctx, memo, gdim)
+        return jnp.swapaxes(g, 0, 1)
     raise NotImplementedError(
         f"grad() of composite expression {type(e).__name__}; restructure the form so grad applies to terminals"
     )
@@ -313,6 +326,13 @@ def coefficient_inputs(info, batch: CellBatch, quadrature_degree=None):
             if f in info["coeff_grads"]:
                 raise ValueError("cannot take grad() of a quadrature-space coefficient")
             plan.append((f, "qp", None))
+        elif V.num_sub_spaces > 0:
+            # mixed space: per-sub tabulations; values flattened to the
+            # mixed vector shape (sum of sub block sizes)
+            needs_grad = f in info["coeff_grads"]
+            tabs = [V.sub(i).tabulate(batch.points) for i in range(V.num_sub_spaces)]
+            subs = [(V.sub(i).element.num_scalar_dofs, V.sub(i).bs) for i in range(V.num_sub_spaces)]
+            plan.append((f, "tab_mixed", (tabs, subs, needs_grad)))
         else:
             phi, dphi = V.tabulate(batch.points)
             needs_grad = f in info["coeff_grads"]

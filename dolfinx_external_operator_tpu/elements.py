@@ -85,6 +85,9 @@ def _lagrange_nodes(cell_type: str, degree: int):
     then interior.
     """
     verts = REFERENCE_VERTICES[cell_type]
+    if degree == 0:
+        # piecewise constant: one node at the cell midpoint (DG0)
+        return verts.mean(axis=0, keepdims=True), {"vertex": 0, "edge": 0, "cell": 1}
     if degree == 1:
         return verts.copy(), {"vertex": 1, "edge": 0, "cell": 0}
     if degree == 2:

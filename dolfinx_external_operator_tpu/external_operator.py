@@ -222,6 +222,44 @@ class FEMExternalOperator(sym.Expr):
         self._derivative_cache[i] = node
         return node
 
+    def _contract_with_direction(self, direction, n: int):
+        """Contract this (derivative) operator's trailing ``n`` axes with a
+        direction expression (the chain-rule action).
+
+        Non-mixed: plain trailing-axis tensordot
+        (reference ``_apply_derivative_tensor``, ``external_operator.py:463-486``).
+        Mixed: the flattened mixed value interleaves per-sub blocks of shape
+        ``sub_shape + diff_shape`` — split per component, contract each, then
+        re-flatten (reference ``_replace_action``, ``:528-534``)."""
+        if not self._is_mixed:
+            return sym.tensordot(self, direction, n)
+        orig = self.function_space
+        entries = []
+        offset = 0
+
+        def _prod(shape):
+            p = 1
+            for s in shape:
+                p *= s
+            return p
+
+        for i in range(self.ref_function_space.num_sub_spaces):
+            sub_shape_full = tuple(self.ref_function_space.sub(i).value_shape)
+            orig_shape = tuple(orig.sub(i).value_shape)
+            size_full = _prod(sub_shape_full)
+            comp = sym.as_tensor(
+                [sym.indexed(self, (offset + k,)) for k in range(size_full)], sub_shape_full
+            )
+            applied = sym.tensordot(comp, direction, n) if n > 0 else sym.mul(comp, direction)
+            # flatten applied (shape == orig_shape) to scalar entries
+            if orig_shape == ():
+                entries.append(applied)
+            else:
+                for idx in np.ndindex(orig_shape):
+                    entries.append(sym.indexed(applied, idx))
+            offset += size_full
+        return sym.as_tensor(entries, (len(entries),))
+
     def _reconstruct_with_operands(self, new_operands):
         if all(n is o for n, o in zip(new_operands, self.ufl_operands)):
             return self

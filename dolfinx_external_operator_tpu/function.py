@@ -193,6 +193,13 @@ class Function(sym.Expr):
         arr[V.unrolled_dofmap.ravel()] = vals.ravel()
         self._data = jnp.asarray(arr, dtype=self.dtype)
 
+    def sub(self, i: int) -> "_SubFunction":
+        """View of the i-th sub-function of a mixed-space Function
+        (dolfinx parity: ``u.sub(0).interpolate(...)``,
+        reference ``test_external_operators_evaluation.py:193-194``)."""
+        assert self.function_space.num_sub_spaces > 0, "sub() on a non-mixed Function"
+        return _SubFunction(self, i)
+
     def eval(self, points, cells):
         """Evaluate at physical points located in the given cells (probe
         path; reference: ``u.eval(points_on_process, cells)``,
@@ -230,6 +237,22 @@ def _pull_back(mesh, geo_element, cell: int, x: np.ndarray) -> np.ndarray:
             break
         xi = xi + np.linalg.solve(J, r) if J.shape[0] == J.shape[1] else xi + np.linalg.lstsq(J, r, rcond=None)[0]
     return xi
+
+
+class _SubFunction:
+    """Writable view of one sub-space slice of a mixed-space Function."""
+
+    def __init__(self, parent: Function, index: int):
+        self.parent = parent
+        self.index = index
+        self.sub_space = parent.function_space.sub(index)
+
+    def interpolate(self, fn):
+        tmp = Function(self.sub_space, dtype=self.parent.dtype)
+        tmp.interpolate(fn)
+        off = self.sub_space.sub_offset
+        n = self.sub_space.num_dofs
+        self.parent._data = self.parent._data.at[off: off + n].set(tmp._data)
 
 
 class Constant(sym.Expr):

@@ -65,6 +65,9 @@ class FunctionSpace:
         self._sub_spaces = tuple(subs)
         self.num_scalar_dofs = offset
         self.dofmap = None  # per-sub dofmaps are used instead
+        self._unrolled = np.concatenate(
+            [V.unrolled_dofmap + V._offset for V in subs], axis=1
+        ).astype(np.int32)
         self._tab_cache = {}
 
     @property
@@ -116,7 +119,9 @@ class FunctionSpace:
 
     @property
     def unrolled_dofmap(self) -> np.ndarray:
-        """(n_cells, ndofs_per_cell * bs) unrolled dof indices."""
+        """(n_cells, ndofs_per_cell * bs) unrolled dof indices.
+
+        For mixed spaces: concatenation of the (offset) sub-space dofmaps."""
         if getattr(self, "_unrolled", None) is None:
             dm, bs = self.dofmap, self.bs
             if bs == 1:

@@ -653,13 +653,14 @@ def det(a):
     raise NotImplementedError(n)
 
 
-def diff(expr, var: Variable):
+def diff(expr, var):
     """Tensor derivative d expr / d var (ufl.diff semantics).
 
-    For scalar ``expr`` and rank-2 ``var`` returns shape var.shape with
-    entries d expr / d var_ij, computed by Gateaux differentiation in unit
-    tensor directions."""
-    assert isinstance(var, Variable)
+    ``var`` may be a ``Variable`` or a coefficient Function (the reference's
+    multiaction twin differentiates w.r.t. a DG0 coefficient,
+    ``test_multiaction.py:117``).  For scalar ``expr`` returns shape
+    var.shape with entries d expr / d var_i..., computed by Gateaux
+    differentiation in unit tensor directions."""
     assert expr.shape == (), "diff currently implemented for scalar expressions"
     entries = []
     for idx in np.ndindex(var.shape) if var.shape else [()]:
@@ -925,14 +926,16 @@ def _gateaux_impl(expr, u, du, memo):
     if expr is u:
         return du
     if isinstance(expr, FEMExternalOperator):
-        # chain rule through the user kernel: sum_i tensordot(dN/do_i, d o_i)
+        # chain rule through the user kernel: sum_i tensordot(dN/do_i, d o_i);
+        # mixed output spaces contract per-component (reference
+        # _replace_action mixed branch, external_operator.py:528-534)
         total = Zero(expr.shape)
         for i, op in enumerate(expr.ufl_operands):
             dop = _gateaux(op, u, du, memo)
             if is_zero(dop):
                 continue
             dN = expr._derivative_node(i)
-            total = add(total, tensordot(dN, dop, len(op.shape)))
+            total = add(total, dN._contract_with_direction(dop, len(op.shape)))
         return total
     if isinstance(expr, Variable):
         # transparent unless it IS the differentiation target (handled above)
