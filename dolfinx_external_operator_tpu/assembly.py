@@ -181,8 +181,19 @@ class _IntegralKernel:
     def _setup_cell(self):
         mesh = self.mesh
         qpts, qwts = make_quadrature(mesh.cell_type, self.quadrature_degree)
-        batch = CellBatch(mesh, qpts)
-        self.batches = [self._make_batch_fn(batch, qwts, facet_dir=None, normal_sign=None)]
+        sub_id = self.measure.subdomain_id
+        if sub_id is None:
+            cells = None
+            positions = None
+        else:
+            if self.measure.subdomain_data is not None and not isinstance(sub_id, np.ndarray):
+                cells = np.asarray(self.measure.subdomain_data[sub_id], dtype=np.int32)
+            else:
+                cells = np.asarray(sub_id, dtype=np.int32)
+            positions = np.arange(cells.shape[0], dtype=np.int32)
+        batch = CellBatch(mesh, qpts, cells)
+        self.batches = [self._make_batch_fn(batch, qwts, facet_dir=None, normal_sign=None,
+                                            subset_positions=positions)]
 
     # -- exterior facet integrals ---------------------------------------
     def _setup_facet(self):
@@ -222,11 +233,12 @@ class _IntegralKernel:
                 D = V.T @ dphi_f[0]  # (tdim, nvf) @ (nvf, tdim_f)
             batch = CellBatch(mesh, pts, cells=cells_of[sel])
             self.batches.append(
-                self._make_batch_fn(batch, fw, facet_dir=D, normal_sign=signs[sel])
+                self._make_batch_fn(batch, fw, facet_dir=D, normal_sign=signs[sel],
+                                    subset_positions=sel.astype(np.int32))
             )
 
     # -- the jitted per-batch assembly function --------------------------
-    def _make_batch_fn(self, batch: CellBatch, qwts, facet_dir, normal_sign):
+    def _make_batch_fn(self, batch: CellBatch, qwts, facet_dir, normal_sign, subset_positions=None):
         integrand = self.integrand
         info = self.info
         plan = coefficient_inputs(info, batch, self.quadrature_degree if self.measure.kind == "dx" else None)
@@ -339,6 +351,14 @@ class _IntegralKernel:
                 None if p[1] == "qp" else jnp.asarray(f.function_space.unrolled_dofmap[batch.cells])
                 for f, p in zip(self.functions, plan)
             ],
+            # qp-coefficient row indices: same-mesh -> cell ids; submesh
+            # coefficient -> positions within the entity list (codim paths)
+            "qp_rows": [
+                None if p[1] != "qp" else jnp.asarray(
+                    batch.cells if f.function_space.mesh is self.mesh else subset_positions
+                )
+                for f, p in zip(self.functions, plan)
+            ],
             "test_dofs": None if test_space is None else jnp.asarray(test_space.unrolled_dofmap[batch.cells]),
             "trial_dofs": None if trial_space is None else jnp.asarray(trial_space.unrolled_dofmap[batch.cells]),
         }
@@ -347,9 +367,9 @@ class _IntegralKernel:
 
         def batch_fn(static, coeff_datas, const_vals):
             cell_data = []
-            for kind, bs, gather, full in zip(kinds, bss, static["gathers"], coeff_datas):
+            for kind, bs, gather, rows, full in zip(kinds, bss, static["gathers"], static["qp_rows"], coeff_datas):
                 if kind == "qp":
-                    cell_data.append(full.reshape(-1, nq * bs)[static["cells"]])
+                    cell_data.append(full.reshape(-1, nq * bs)[rows])
                 else:
                     cell_data.append(full[gather])
             elem = vmapped(static["coords"], static["nsign"], cell_data, list(const_vals))

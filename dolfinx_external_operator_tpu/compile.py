@@ -315,14 +315,24 @@ def coefficient_inputs(info, batch: CellBatch, quadrature_degree=None):
         V = f.function_space
         if V.is_quadrature:
             el = V.element
-            if quadrature_degree is not None and el.degree != quadrature_degree:
-                raise ValueError(
-                    f"quadrature element degree {el.degree} != measure quadrature_degree "
-                    f"{quadrature_degree}: the reference requires these to match "
-                    "(demo_nonlinear_heat_equation_part1.py:198-204)"
-                )
-            if not np.allclose(el.interpolation_points, batch.points, atol=1e-12):
-                raise ValueError("quadrature-space coefficient evaluated at foreign points")
+            same_mesh = V.mesh is batch.mesh
+            if same_mesh:
+                if quadrature_degree is not None and el.degree != quadrature_degree:
+                    raise ValueError(
+                        f"quadrature element degree {el.degree} != measure quadrature_degree "
+                        f"{quadrature_degree}: the reference requires these to match "
+                        "(demo_nonlinear_heat_equation_part1.py:198-204)"
+                    )
+                if not np.allclose(el.interpolation_points, batch.points, atol=1e-12):
+                    raise ValueError("quadrature-space coefficient evaluated at foreign points")
+            else:
+                # submesh (codim-0/1) coefficient: the batch points live on
+                # the parent reference cell; only the point COUNT must agree
+                if el.interpolation_points.shape[0] != batch.nq:
+                    raise ValueError(
+                        "submesh quadrature coefficient point count "
+                        f"{el.interpolation_points.shape[0]} != integration rule {batch.nq}"
+                    )
             if f in info["coeff_grads"]:
                 raise ValueError("cannot take grad() of a quadrature-space coefficient")
             plan.append((f, "qp", None))

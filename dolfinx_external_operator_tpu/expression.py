@@ -104,6 +104,13 @@ class Expression:
         return jax.jit(run), static
 
     def eval(self, mesh: Mesh, cells: np.ndarray | None = None):
+        """Evaluate on cells (``cells`` = indices or None for all), or on
+        facets when ``cells`` is an (n, 2) array of (parent_cell,
+        local_facet) pairs — the codim-1 operand path (reference
+        ``test_codim_external_operator.py:75-124``; dolfinx
+        ``Expression.eval`` entity convention)."""
+        if cells is not None and np.asarray(cells).ndim == 2:
+            return self._eval_facets(mesh, np.asarray(cells, dtype=np.int32))
         key = None if cells is None else (int(cells[0]) if len(cells) else 0, len(cells), int(np.sum(cells)) if len(cells) else 0)
         hit = self._cache.get(key)
         if hit is None:
@@ -113,3 +120,36 @@ class Expression:
         coeffs = [f.data for f in self.functions]
         consts = [jnp.asarray(c.value, _F) for c in self.constants]
         return fn(static, coeffs, consts)
+
+    def _eval_facets(self, mesh: Mesh, entities: np.ndarray):
+        """Facet-point evaluation: self.points live on the FACET reference
+        cell; map them into each parent cell via the local-facet geometry."""
+        from .elements import Element
+        from .mesh import CELL_FACETS, FACET_CELL, REFERENCE_VERTICES
+
+        key = ("facets", entities.tobytes())
+        plans = self._cache.get(key)
+        if plans is None:
+            fcell = FACET_CELL[mesh.cell_type]
+            ref_verts = REFERENCE_VERTICES[mesh.cell_type]
+            fgeo = Element("Lagrange", fcell, 1)
+            phi_f, _ = fgeo.tabulate(self.points)
+            plans = []
+            for lf in range(len(CELL_FACETS[mesh.cell_type])):
+                sel = np.where(entities[:, 1] == lf)[0]
+                if sel.size == 0:
+                    continue
+                V = ref_verts[np.asarray(CELL_FACETS[mesh.cell_type][lf])]
+                pts = phi_f @ V  # facet qps in parent ref coords
+                sub_expr = Expression(self.expr, pts, dtype=self.dtype)
+                plans.append((sel, sub_expr, entities[sel, 0]))
+            self._cache[key] = plans
+        nq = self.points.shape[0]
+        vsize = _prod(self.expr.shape)
+        n = entities.shape[0]
+        shape = (n, nq) if self.expr.shape == () else (n, nq, vsize)
+        out = jnp.zeros(shape, self.dtype)
+        for sel, sub_expr, cells in plans:
+            vals = sub_expr.eval(mesh, cells)
+            out = out.at[jnp.asarray(sel)].set(vals)
+        return out

@@ -326,11 +326,18 @@ def evaluate_operands(external_operators, entities=None):
     Returns a dict mapping operand -> jnp array of shape
     (n_cells, n_pts) or (n_cells, n_pts, value_size).
     """
+    from .mesh import Submesh
+
     if len(external_operators) == 0:
         return {}
     evaluated = {}
     for ex_op in external_operators:
         mesh = ex_op.ref_function_space.mesh
+        if isinstance(mesh, Submesh):
+            # codim operator: operands live on (and are evaluated over) the
+            # parent mesh at the caller-supplied entities (reference
+            # cross-mesh re-wrap, external_operator.py:388-392)
+            mesh = mesh.parent
         for operand in ex_op.ufl_operands:
             if operand in evaluated:
                 continue

@@ -25,6 +25,10 @@ import numpy as np
 
 __all__ = [
     "Mesh",
+    "Submesh",
+    "EntityMap",
+    "create_submesh",
+    "locate_entities",
     "create_interval",
     "create_unit_interval",
     "create_rectangle",
@@ -471,6 +475,92 @@ def build_square_with_elliptic_holes(
     }
     facet_tags_labels = {"bottom": "bottom", "top": "top", "right": "right", "left": "left"}
     return mesh, facet_tags, facet_tags_labels
+
+
+class Submesh:
+    """A codim-0 (cell subset) or codim-1 (facet set) submesh.
+
+    TPU-native replacement for ``dolfinx.mesh.create_submesh``: just the
+    parent back-pointer + entity list.  Quadrature spaces built on it get a
+    cell-local dofmap over the entities; operand evaluation and restricted
+    assembly use the parent's geometry (reference codim tests:
+    ``test_codim_external_operator.py:75-96,160-171``)."""
+
+    def __init__(self, parent: Mesh, dim: int, entities: np.ndarray):
+        self.parent = parent
+        self.dim = int(dim)
+        self.entities = np.asarray(entities, dtype=np.int32)
+        self.codim = parent.tdim - self.dim
+        assert self.codim in (0, 1), "only codim 0/1 submeshes supported"
+        self.cell_type = parent.cell_type if self.codim == 0 else FACET_CELL[parent.cell_type]
+        self.name = f"{parent.name}_submesh"
+
+    @property
+    def gdim(self):
+        return self.parent.gdim
+
+    @property
+    def tdim(self):
+        return self.dim
+
+    @property
+    def num_cells(self):
+        return self.entities.shape[0]
+
+    def cell_name(self):
+        return self.cell_type
+
+    # minimal duck-typing for quadrature-space dofmap construction
+    @property
+    def cells(self):
+        import numpy as _np
+
+        return _np.empty((self.num_cells, 0), dtype=_np.int32)
+
+    @property
+    def num_vertices(self):
+        return 0
+
+    @property
+    def num_edges(self):
+        return 0
+
+
+class EntityMap:
+    """Sub-to-parent entity index map (dolfinx ``EntityMap`` parity,
+    reference ``test_codim_external_operator.py:160-171``)."""
+
+    def __init__(self, submesh: Submesh):
+        self.submesh = submesh
+
+    def sub_topology_to_topology(self, entities, inverse=False):
+        entities = np.asarray(entities)
+        if not inverse:
+            return self.submesh.entities[entities]
+        lookup = {int(e): i for i, e in enumerate(self.submesh.entities)}
+        return np.asarray([lookup[int(e)] for e in entities], dtype=np.int32)
+
+
+def create_submesh(mesh: Mesh, dim: int, entities):
+    """Create a codim-0/1 submesh (dolfinx-parity signature; returns
+    (submesh, entity_map, None, None))."""
+    sub = Submesh(mesh, dim, entities)
+    return sub, EntityMap(sub), None, None
+
+
+def locate_entities(mesh: Mesh, dim: int, marker) -> np.ndarray:
+    """Entities (cells for dim==tdim, facets for tdim-1) whose every vertex
+    satisfies ``marker`` (dolfinx parity)."""
+    coords = mesh.points
+    x = np.zeros((3, coords.shape[0]))
+    x[: coords.shape[1]] = coords.T
+    vert_ok = np.asarray(marker(x), dtype=bool)
+    if dim == mesh.tdim:
+        ok = vert_ok[mesh.cells].all(axis=1)
+        return np.where(ok)[0].astype(np.int32)
+    assert dim == mesh.tdim - 1
+    ok = vert_ok[mesh.facets].all(axis=1)
+    return np.where(ok)[0].astype(np.int32)
 
 
 def locate_entities_boundary(mesh: Mesh, marker) -> np.ndarray:
