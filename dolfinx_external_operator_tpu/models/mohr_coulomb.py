@@ -98,11 +98,12 @@ class MohrCoulombMaterial:
 
     def __init__(self, E=6778.0, nu=0.25, c=3.45, phi=30 * np.pi / 180,
                  psi=30 * np.pi / 180, theta_T=26 * np.pi / 180, a=None,
-                 tol=1e-8, max_iter=200):
+                 tol=1e-8, max_iter=200, n_polish=2):
         self.E, self.nu, self.c = E, nu, c
         self.phi, self.psi, self.theta_T = phi, psi, theta_T
         self.a = 0.26 * c / np.tan(phi) if a is None else a
         self.tol, self.max_iter = tol, max_iter
+        self.n_polish = n_polish
 
         lmbda = E * nu / ((1.0 + nu) * (1.0 - 2.0 * nu))
         mu = E / (2.0 * (1.0 + nu))
@@ -145,45 +146,58 @@ class MohrCoulombMaterial:
             J2_ = J2(s)
             safe = J2_ > 0.0
             J2s = jnp.where(safe, J2_, 1.0)
-            arg = -(3.0 * np.sqrt(3.0) * J3(s)) / (2.0 * jnp.sqrt(J2s**3))
+            arg = -(float(3.0 * np.sqrt(3.0)) * J3(s)) / (2.0 * jnp.sqrt(J2s**3))
             arg = jnp.where(safe, arg, 0.0)
             return jnp.arcsin(jnp.clip(arg, -1.0, 1.0)) / 3.0
 
-        cos3T, sin3T = np.cos(3 * theta_T), np.sin(3 * theta_T)
-        cos6T, sin6T = np.cos(6 * theta_T), np.sin(6 * theta_T)
-        denom = 18.0 * cos3T**3
+        # NOTE: all precomputed scalars as PYTHON floats (weak-typed) — numpy
+        # float64 scalars are strong-typed in JAX and would silently upcast
+        # the f32 inner-Newton path back to emulated f64.
+        cos3T, sin3T = float(np.cos(3 * theta_T)), float(np.sin(3 * theta_T))
+        cos6T, sin6T = float(np.cos(6 * theta_T)), float(np.sin(6 * theta_T))
+        denom = float(18.0 * cos3T**3)
+        cosT, sinT = float(np.cos(theta_T)), float(np.sin(theta_T))
+        inv_sqrt3 = float(1.0 / np.sqrt(3.0))
 
         def K_smooth(theta, angle):
             sgn = jnp.where(theta < 0.0, -1.0, 1.0)
-            sin_a = np.sin(angle)
-            c1 = np.cos(theta_T) - sin_a * np.sin(theta_T) / np.sqrt(3.0)
-            c2 = sgn * np.sin(theta_T) + sin_a * np.cos(theta_T) / np.sqrt(3.0)
+            sin_a = float(np.sin(angle))
+            c1 = cosT - sin_a * sinT * inv_sqrt3
+            c2 = sgn * sinT + sin_a * cosT * inv_sqrt3
             Cc = (-cos3T * c1 - 3.0 * sgn * sin3T * c2) / denom
             Bc = (sgn * sin6T * c1 - 6.0 * cos6T * c2) / denom
             Ac = (
-                -(sin_a / np.sqrt(3.0)) * sgn * np.sin(theta_T)
+                -(sin_a * inv_sqrt3) * sgn * sinT
                 - Bc * sgn * sin3T
                 - Cc * sin3T**2
-                + np.cos(theta_T)
+                + cosT
             )
-            K_in = jnp.cos(theta) - sin_a * jnp.sin(theta) / np.sqrt(3.0)
+            K_in = jnp.cos(theta) - sin_a * jnp.sin(theta) * inv_sqrt3
             K_out = Ac + Bc * jnp.sin(3.0 * theta) + Cc * jnp.sin(3.0 * theta) ** 2
             return jnp.where(jnp.abs(theta) > theta_T, K_out, K_in)
 
-        def surface(sigma_local, angle, a_coef):
-            s = DEV @ sigma_local
-            I1 = TR @ sigma_local
-            th = lode_theta(s)
-            K = K_smooth(th, angle)
-            sin_a = np.sin(angle)
-            return (
-                I1 / 3.0 * sin_a
-                + jnp.sqrt(J2(s) * K * K + (a_coef * sin_a) ** 2)
-                - c * np.cos(angle)
-            )
+        def _make_surface(dtype):
+            DEVd = DEV.astype(dtype)
+            TRd = TR.astype(dtype)
 
-        a_f = a
-        a_g = a * np.tan(phi) / np.tan(psi)
+            def surface(sigma_local, angle, a_coef):
+                s = DEVd @ sigma_local
+                I1 = TRd @ sigma_local
+                th = lode_theta(s)
+                K = K_smooth(th, angle)
+                sin_a = float(np.sin(angle))
+                return (
+                    I1 / 3.0 * sin_a
+                    + jnp.sqrt(J2(s) * K * K + float((a_coef * sin_a) ** 2))
+                    - float(c * np.cos(angle))
+                )
+
+            return surface
+
+        surface = _make_surface(jnp.float64)
+
+        a_f = float(a)
+        a_g = float(a * np.tan(phi) / np.tan(psi))
 
         def f_yield(sig):
             return surface(sig, phi, a_f)
@@ -191,63 +205,65 @@ class MohrCoulombMaterial:
         def g_pot(sig):
             return surface(sig, psi, a_g)
 
-        dgdsigma = jax.jacfwd(g_pot)
-        ZEROV = jnp.zeros(STRESS_DIM)
+        def _make_residual(dtype):
+            """Dtype-specialized residual/Jacobian (f32 inner loop, f64 polish)."""
+            C = C_elas.astype(dtype)
+            zerov = jnp.zeros(STRESS_DIM, dtype)
+            surf_d = _make_surface(dtype)
 
-        def deps_p(sigma_local, dlambda, deps_local, sigma_n_local):
-            yielding = f_yield(sigma_n_local + C_elas @ deps_local)
-            return jnp.where(yielding <= 0.0, ZEROV, dlambda * dgdsigma(sigma_local))
+            def f_y(sig):
+                return surf_d(sig, phi, a_f)
 
-        def r_g(sigma_local, dlambda, deps_local, sigma_n_local):
-            return sigma_local - sigma_n_local - C_elas @ (
-                deps_local - deps_p(sigma_local, dlambda, deps_local, sigma_n_local)
-            )
+            def g_p(sig):
+                return surf_d(sig, psi, a_g)
 
-        def r_f(sigma_local, dlambda, deps_local, sigma_n_local):
-            yielding = f_yield(sigma_n_local + C_elas @ deps_local)
-            return jnp.where(yielding <= 0.0, dlambda, f_yield(sigma_local))
+            dg = jax.jacfwd(g_p)
 
-        def r(y, deps_local, sigma_n_local):
-            sig, dl = y[:STRESS_DIM], y[-1]
-            return jnp.concatenate(
-                [r_g(sig, dl, deps_local, sigma_n_local), jnp.array([r_f(sig, dl, deps_local, sigma_n_local)])]
-            )
+            def r(y, deps_local, sigma_n_local):
+                sig, dl = y[:STRESS_DIM], y[-1]
+                yielding = f_y(sigma_n_local + C @ deps_local)
+                plastic = yielding > 0.0
+                dep_p = jnp.where(plastic, dl * dg(sig), zerov)
+                rg = sig - sigma_n_local - C @ (deps_local - dep_p)
+                rf = jnp.where(plastic, f_y(sig), dl)
+                return jnp.concatenate([rg, jnp.array([rf], dtype)])
 
-        drdy = jax.jacfwd(r)
+            return r, jax.jacfwd(r)
+
+        r64, drdy64 = _make_residual(jnp.float64)
+        r32, drdy32 = _make_residual(jnp.float32)
+        f32, f64 = jnp.float32, jnp.float64
+        n_polish_max = max(self.n_polish, 20)
+        tol32 = max(tol, 1e-5)
 
         def return_mapping(deps_local, sigma_n_local):
-            """Newton solve of r(y)=0 at one Gauss point (reference :474-533).
+            """Mixed-precision Newton return map (reference algorithm :474-533,
+            TPU-first precision split).
 
-            Returns sigma twice so jacfwd(has_aux=True) yields both the
-            consistent tangent and the stress in one sweep."""
-            y0 = jnp.concatenate([sigma_n_local, jnp.zeros(1)])
-            res0 = r(y0, deps_local, sigma_n_local)
-            norm0 = jnp.linalg.norm(res0)
-            # always run >= 1 iteration: jacfwd through a 0-iteration loop
-            # would return a ZERO tangent (y never touches deps).  The
-            # reference avoids this only by float noise keeping res0 != 0;
-            # one guaranteed iteration yields the correct implicit tangent
-            # even at exactly-converged states.
-            norm0_safe = jnp.maximum(norm0, 1e-300)
+            The iteration runs in f32 — native on the TPU VPU, an order of
+            magnitude cheaper than software-emulated f64 trig — to a relative
+            tolerance of ~1e-5, then a fixed number of straight-line f64
+            Newton polish steps restores full double-precision accuracy
+            (quadratic convergence: each polish step squares the error, so
+            two steps from 1e-5 reach 1e-10..machine).  Backtracking damping
+            in the f32 loop keeps apex-region states convergent where the
+            reference's undamped Newton oscillates."""
+            d32 = deps_local.astype(f32)
+            s32 = sigma_n_local.astype(f32)
+            y0 = jnp.concatenate([s32, jnp.zeros(1, f32)])
+            res0 = r32(y0, d32, s32)
+            norm0 = jnp.maximum(jnp.linalg.norm(res0), jnp.asarray(1e-30, f32))
 
             def cond_fun(state):
                 norm_res, niter, _ = state
-                return jnp.logical_or(
-                    niter == 0,
-                    jnp.logical_and(norm_res / norm0_safe > tol, niter < max_iter),
-                )
+                return jnp.logical_and(norm_res / norm0 > tol32, niter < max_iter)
 
             def body_fun(state):
                 norm_res, niter, carry = state
                 y, res = carry
-                j = drdy(y, deps_local, sigma_n_local)
+                j = drdy32(y, d32, s32)
                 dy = solve_small(j, -res)
-                # Backtracking damping (improvement over the reference's
-                # undamped Newton, :507-522): the full step is accepted
-                # whenever it reduces ||r|| — identical iterates on nominal
-                # paths — while oscillating apex-region states get halved
-                # steps instead of diverging.
-                res_full = r(y + dy, deps_local, sigma_n_local)
+                res_full = r32(y + dy, d32, s32)
 
                 def bt_cond(s):
                     alpha, rn, _ = s
@@ -256,20 +272,64 @@ class MohrCoulombMaterial:
                 def bt_body(s):
                     alpha, _, _ = s
                     alpha = alpha * 0.5
-                    rt = r(y + alpha * dy, deps_local, sigma_n_local)
+                    rt = r32(y + alpha * dy, d32, s32)
                     return (alpha, jnp.linalg.norm(rt), rt)
 
                 alpha, rn, res_new = jax.lax.while_loop(
-                    bt_cond, bt_body, (1.0, jnp.linalg.norm(res_full), res_full)
+                    bt_cond, bt_body, (jnp.asarray(1.0, f32), jnp.linalg.norm(res_full), res_full)
                 )
-                y = y + alpha * dy
-                return (rn, niter + 1, (y, res_new))
+                return (rn, niter + 1, (y + alpha * dy, res_new))
 
-            norm_res, niter, (y, _) = jax.lax.while_loop(cond_fun, body_fun, (norm0, 0, (y0, res0)))
+            norm_res32, niter, (y32, _) = jax.lax.while_loop(cond_fun, body_fun, (norm0, 0, (y0, res0)))
+
+            # f64 polish: damped Newton to the reference tolerance
+            # ||r||/||r(y0)|| <= tol in FULL precision (:469).  Typically 1-2
+            # iterations from the f32 iterate; also guarantees the implicit
+            # tangent sees deps-dependence even where the f32 loop exits
+            # immediately (at least one iteration is forced).
+            y = y32.astype(f64)
+            y0_64 = jnp.concatenate([sigma_n_local, jnp.zeros(1, f64)])
+            norm0_64 = jnp.maximum(jnp.linalg.norm(r64(y0_64, deps_local, sigma_n_local)), 1e-300)
+            res = r64(y, deps_local, sigma_n_local)
+
+            def p_cond(state):
+                norm_res, it, _ = state
+                return jnp.logical_or(
+                    it == 0,
+                    jnp.logical_and(norm_res / norm0_64 > tol, it < n_polish_max),
+                )
+
+            def p_body(state):
+                norm_cur, it, carry = state
+                y, res = carry
+                dy = solve_small(drdy64(y, deps_local, sigma_n_local), -res)
+                res_full = r64(y + dy, deps_local, sigma_n_local)
+
+                def bt_cond(s):
+                    alpha, rn, _ = s
+                    return jnp.logical_and(rn >= norm_cur, alpha > 2**-10)
+
+                def bt_body(s):
+                    alpha, _, _ = s
+                    alpha = alpha * 0.5
+                    rt = r64(y + alpha * dy, deps_local, sigma_n_local)
+                    return (alpha, jnp.linalg.norm(rt), rt)
+
+                alpha, rn, res_new = jax.lax.while_loop(
+                    bt_cond, bt_body, (jnp.asarray(1.0, f64), jnp.linalg.norm(res_full), res_full)
+                )
+                return (rn, it + 1, (y + alpha * dy, res_new))
+
+            norm_res, niter64, (y, _) = jax.lax.while_loop(
+                p_cond, p_body, (jnp.linalg.norm(res), 0, (y, res))
+            )
+
             sig = y[:STRESS_DIM]
             dlambda = y[-1]
             yielding = f_yield(sigma_n_local + C_elas @ deps_local)
-            return sig, (sig, niter, yielding, norm_res, dlambda)
+            return sig, (sig, niter + niter64, yielding, norm_res, dlambda)
+
+        r, drdy = r64, drdy64
 
         def tangent_stress_point(deps_local, sigma_n_local):
             """Consistent tangent via the implicit function theorem.

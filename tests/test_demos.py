@@ -1,0 +1,24 @@
+"""Run every demo script as a subprocess (reference doc/demo/test_demos.py:23-36)."""
+import os
+import subprocess
+import sys
+
+import pytest
+
+DEMOS = os.path.join(os.path.dirname(__file__), "..", "demos")
+
+
+@pytest.mark.parametrize("demo,args", [
+    ("demo_simple_example.py", []),
+    ("demo_plasticity_von_mises.py", ["--small"]),
+    ("demo_plasticity_mohr_coulomb.py", ["--small"]),
+    ("demo_hyperelasticity.py", ["--small"]),
+])
+@pytest.mark.slow
+def test_demo_runs(demo, args):
+    env = dict(os.environ)
+    env["JAX_PLATFORMS"] = "cpu"
+    env["PYTHONPATH"] = os.path.abspath(os.path.join(DEMOS, "..")) + os.pathsep + env.get("PYTHONPATH", "")
+    r = subprocess.run([sys.executable, os.path.join(DEMOS, demo), *args],
+                       capture_output=True, text=True, timeout=1200, env=env)
+    assert r.returncode == 0, r.stdout[-2000:] + r.stderr[-2000:]
