@@ -152,6 +152,11 @@ class Mesh:
             self._edges = np.empty((0, 2), dtype=np.int32)
             self._cell_edges = np.empty((self.num_cells, 0), dtype=np.int32)
             return
+        from ._native import loader as _nat
+
+        if _nat.available():
+            self._edges, self._cell_edges = _nat.build_edges(self.cells, local_edges)
+            return
         le = np.asarray(local_edges, dtype=np.int32)  # (n_local_edges, 2)
         # (n_cells, n_local_edges, 2) global vertex pairs, sorted within pair
         ev = self.cells[:, le]  # fancy: (n_cells, nle, 2)
@@ -185,6 +190,21 @@ class Mesh:
         lf = [np.asarray(f, dtype=np.int32) for f in local_facets]
         nvf = len(lf[0])
         n_lf = len(lf)
+        from ._native import loader as _nat
+
+        if _nat.available():
+            fv, fc, flo, cell_facets = _nat.build_facets(
+                self.cells, np.asarray(local_facets, dtype=np.int32)
+            )
+            self._facets = {
+                "vertices": fv,
+                "vertices_sorted": np.sort(fv, axis=1),
+                "cells": fc,
+                "local": flo,
+                "exterior": np.where(fc[:, 1] < 0)[0].astype(np.int32),
+                "cell_facets": cell_facets,
+            }
+            return
         fv = np.stack([self.cells[:, f] for f in lf], axis=1)  # (n_cells, n_lf, nvf)
         fv_sorted = np.sort(fv, axis=-1)
         flat = fv_sorted.reshape(-1, nvf)
