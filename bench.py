@@ -43,7 +43,9 @@ def _kernel_throughput(mat, device, n_points, reps):
     with jax.default_device(device):
         d = jnp.asarray(deps)
         s = jnp.asarray(sigma_n)
-        fn = jax.jit(jax.vmap(lambda a, b: mat.tangent_stress_point(a, b)))
+
+        # the production entry point (SoA batch-last layout inside)
+        fn = jax.jit(lambda a, b: mat.tangent_and_stress(a.reshape(-1), b.reshape(-1))[:2])
         out = fn(d, s)
         jax.block_until_ready(out)
         t0 = time.perf_counter()
@@ -113,11 +115,11 @@ def main():
 
     mat = MohrCoulombMaterial()
 
-    n_points = 1 << 17  # 131k Gauss points (jacfwd temporaries bound HBM)
+    n_points = 1 << 20  # 1M Gauss points
     _log("bench: TPU kernel throughput...")
-    tpu_pps = _kernel_throughput(mat, accel, n_points, reps=10)
+    tpu_pps = _kernel_throughput(mat, accel, n_points, reps=20)
     _log(f"bench: TPU {tpu_pps:.3e} pts/s; CPU baseline...")
-    cpu_pps = _kernel_throughput(mat, cpu, n_points // 4, reps=2)
+    cpu_pps = _kernel_throughput(mat, cpu, n_points // 8, reps=2)
     _log(f"bench: CPU {cpu_pps:.3e} pts/s; end-to-end...")
 
     e2e = _end_to_end(accel)

@@ -355,28 +355,46 @@ class MohrCoulombMaterial:
         self.return_mapping = return_mapping
         self.dsigma_ddeps = jax.jacfwd(return_mapping, has_aux=True)  # reference-style path
         self.tangent_stress_point = tangent_stress_point  # implicit path (default)
+        # CRITICAL TPU layout: vmap with the batch axis LAST (structure-of-
+        # arrays).  Batch-first puts the tiny per-point dims (4, 5x5) into
+        # the (8,128) vector lanes — ~3% VPU utilization and ~4000x slower
+        # measured on v5e.  Batch-last keeps lanes full.
+        self._vmapped_soa = jax.jit(
+            jax.vmap(tangent_stress_point, in_axes=(-1, -1), out_axes=(-1, (-1, -1, -1, -1, -1)))
+        )
         self._vmapped = jax.jit(jax.vmap(tangent_stress_point, in_axes=(0, 0)))
         self._vmapped_adloop = jax.jit(jax.vmap(self.dsigma_ddeps, in_axes=(0, 0)))
         self._vmapped_rm = jax.jit(jax.vmap(self.return_mapping, in_axes=(0, 0)))
+        self._vmapped_rm_soa = jax.jit(
+            jax.vmap(self.return_mapping, in_axes=(-1, -1), out_axes=(-1, (-1, -1, -1, -1, -1)))
+        )
 
     def tangent_and_stress(self, deps_flat, sigma_n_flat):
-        """Batched consistent tangent + stress (the external-function body)."""
-        deps = deps_flat.reshape(-1, STRESS_DIM)
-        sn = sigma_n_flat.reshape(-1, STRESS_DIM)
-        C_tang, state = self._vmapped(deps, sn)
+        """Batched consistent tangent + stress (the external-function body).
+
+        Transposes to batch-last (SoA) around the vmapped kernel — the
+        boundary transposes are bandwidth-trivial next to the kernel."""
+        deps = deps_flat.reshape(-1, STRESS_DIM).T
+        sn = sigma_n_flat.reshape(-1, STRESS_DIM).T
+        C_tang, state = self._vmapped_soa(deps, sn)  # (4,4,n), per-point aux (...,n)
         sig, niter, yielding, norm_res, dlambda = state
         stats = {
             "niter": niter,
             "max_f": jnp.max(yielding),
             "max_res": jnp.max(norm_res),
         }
-        return C_tang.reshape(-1), sig.reshape(-1), stats
+        # back to AoS row-major (n, 4, 4) / (n, 4) flattened
+        return (
+            jnp.moveaxis(C_tang, -1, 0).reshape(-1),
+            sig.T.reshape(-1),
+            stats,
+        )
 
     def stress_only(self, deps_flat, sigma_n_flat):
-        deps = deps_flat.reshape(-1, STRESS_DIM)
-        sn = sigma_n_flat.reshape(-1, STRESS_DIM)
-        sig, state = self._vmapped_rm(deps, sn)
-        return sig.reshape(-1)
+        deps = deps_flat.reshape(-1, STRESS_DIM).T
+        sn = sigma_n_flat.reshape(-1, STRESS_DIM).T
+        sig, state = self._vmapped_rm_soa(deps, sn)
+        return sig.T.reshape(-1)
 
 
 def epsilon(v):

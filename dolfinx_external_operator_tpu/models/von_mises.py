@@ -114,18 +114,21 @@ def _return_mapping_kernel():
 
 
 class VonMisesMaterial:
-    """Batched return-mapping with consistent tangent, jitted once."""
+    """Batched return-mapping with consistent tangent, jitted once.
+
+    Vmapped with the batch axis LAST (structure-of-arrays): batch-first
+    leaves the TPU vector lanes ~97% idle on these tiny per-point tensors."""
 
     def __init__(self):
         k = _return_mapping_kernel()
-        self._vmapped = jax.jit(jax.vmap(k))
+        self._vmapped = jax.jit(jax.vmap(k, in_axes=(-1, -1, -1), out_axes=(-1, -1, -1)))
 
     def __call__(self, deps_flat, sigma_n_flat, p_flat):
-        deps = deps_flat.reshape(-1, 4)
-        sn = sigma_n_flat.reshape(-1, 4)
+        deps = deps_flat.reshape(-1, 4).T
+        sn = sigma_n_flat.reshape(-1, 4).T
         p = p_flat.reshape(-1)
         C_tang, sig, dp = self._vmapped(deps, sn, p)
-        return C_tang.reshape(-1), sig.reshape(-1), dp.reshape(-1)
+        return jnp.moveaxis(C_tang, -1, 0).reshape(-1), sig.T.reshape(-1), dp.reshape(-1)
 
 
 def _setup_common(lc):

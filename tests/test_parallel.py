@@ -1,0 +1,85 @@
+"""Multi-device (shard_map) execution: the mpirun-CI analog.
+
+The reference CI validates every test serially and under ``mpirun -n 3``
+(.github/workflows/build-and-test.yml:44-46).  Here the cell axis is sharded
+over a virtual 8-device CPU mesh (conftest.py) and results must match the
+single-device run to machine precision with identical Newton counts.
+"""
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from dolfinx_external_operator_tpu import locate_dofs_geometrical
+from dolfinx_external_operator_tpu.models.mohr_coulomb import (
+    build_slope_problem,
+    solve_slope_stability,
+)
+from dolfinx_external_operator_tpu.parallel.spmd import FusedPlasticityStep, make_device_mesh
+
+
+def _fused(device_mesh=None, Nx=4, Ny=4):
+    P = build_slope_problem(Nx=Nx, Ny=Ny)
+    mat, mesh, V, S = P["material"], P["mesh"], P["V"], P["S"]
+    bottom = locate_dofs_geometrical(V, lambda x: np.isclose(x[1], 0.0))
+    right = locate_dofs_geometrical(V, lambda x: np.isclose(x[0], 1.2))
+    bc_dofs = np.concatenate([np.concatenate([s * 2, s * 2 + 1]) for s in (bottom, right)])
+
+    def kernel(deps, sn):
+        C_tang, state = mat.tangent_stress_point(deps, sn)
+        return C_tang, state[0]
+
+    return FusedPlasticityStep(mesh, V, S, kernel, bc_dofs, device_mesh=device_mesh), P
+
+
+@pytest.fixture(scope="module")
+def single_run():
+    fp, P = _fused(None)
+    Du, sig = fp.zero_state()
+    u = jnp.zeros(fp.n_dofs)
+    its = []
+    for load in np.linspace(2, 14, 3):
+        Du, sig, norm, it, cg = fp.run_step(Du, sig, load)
+        u = u + Du
+        its.append(int(it))
+    return u, sig, its, P
+
+
+def test_fused_matches_general_path(single_run):
+    u_fused, sig, its_fused, _ = single_run
+    gen = solve_slope_stability(Nx=4, Ny=4, load_steps=np.linspace(2, 14, 3))
+    u_gen = np.asarray(gen["u"].data)
+    assert np.abs(np.asarray(u_fused) - u_gen).max() < 1e-12
+    assert its_fused == gen["iterations"]
+
+
+@pytest.mark.parametrize("n_dev", [3, 8])
+def test_sharded_matches_single_device(single_run, n_dev):
+    u1, sig1, its1, _ = single_run
+    assert len(jax.devices()) >= n_dev, "conftest must force 8 virtual cpu devices"
+    dm = make_device_mesh(n_dev)
+    fp, _ = _fused(dm)
+    Du, sig = fp.zero_state()
+    u = jnp.zeros(fp.n_dofs)
+    its = []
+    for load in np.linspace(2, 14, 3):
+        Du, sig, norm, it, cg = fp.run_step(Du, sig, load)
+        u = u + Du
+        its.append(int(it))
+    assert np.abs(np.asarray(u) - np.asarray(u1)).max() < 1e-12
+    assert its == its1
+    assert "cells" in str(sig.sharding.spec)
+
+
+def test_dryrun_entry_points():
+    import sys
+
+    sys.path.insert(0, ".")
+    import __graft_entry__ as ge
+
+    fn, args = ge.entry()
+    out = jax.jit(fn)(*args)
+    jax.block_until_ready(out)
+    assert int(out[3]) >= 1
+    ge.dryrun_multichip(8)
