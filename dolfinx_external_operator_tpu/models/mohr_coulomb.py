@@ -139,16 +139,31 @@ class MohrCoulombMaterial:
             # det of the deviatoric stress in Mandel notation
             return s[2] * (s[0] * s[1] - s[3] * s[3] / 2.0)
 
-        def lode_theta(s):
-            # guarded at s == 0 (J2 = 0): the reference divides unguarded
-            # (:292) and relies on float noise; exact zero would NaN through
-            # jnp.where-evaluated branches under vmap.
-            J2_ = J2(s)
-            safe = J2_ > 0.0
-            J2s = jnp.where(safe, J2_, 1.0)
-            arg = -(float(3.0 * np.sqrt(3.0)) * J3(s)) / (2.0 * jnp.sqrt(J2s**3))
-            arg = jnp.where(safe, arg, 0.0)
-            return jnp.arcsin(jnp.clip(arg, -1.0, 1.0)) / 3.0
+        from ..ops.poly_trig import asin3, cos_small, sin_small
+
+        def _trig_fns(dtype):
+            """Native trig in f32 (fast on the VPU); range-limited polynomial
+            trig in f64 (XLA's emulated f64 transcendentals cost ~100x and
+            dominate the whole return map — measured 4.3 ms per surface eval
+            at 8192 points before this change)."""
+            if dtype == jnp.float32:
+                return (lambda x: jnp.arcsin(jnp.clip(x, -1.0, 1.0)) / 3.0,
+                        jnp.sin, jnp.cos)
+            return asin3, sin_small, cos_small
+
+        def make_lode_theta(arcsin3_fn):
+            def lode_theta(s):
+                # guarded at s == 0 (J2 = 0): the reference divides unguarded
+                # (:292) and relies on float noise; exact zero would NaN
+                # through jnp.where-evaluated branches under vmap.
+                J2_ = J2(s)
+                safe = J2_ > 0.0
+                J2s = jnp.where(safe, J2_, 1.0)
+                arg = -(float(3.0 * np.sqrt(3.0)) * J3(s)) / (2.0 * jnp.sqrt(J2s**3))
+                arg = jnp.where(safe, arg, 0.0)
+                return arcsin3_fn(jnp.clip(arg, -1.0, 1.0))
+
+            return lode_theta
 
         # NOTE: all precomputed scalars as PYTHON floats (weak-typed) — numpy
         # float64 scalars are strong-typed in JAX and would silently upcast
@@ -159,26 +174,33 @@ class MohrCoulombMaterial:
         cosT, sinT = float(np.cos(theta_T)), float(np.sin(theta_T))
         inv_sqrt3 = float(1.0 / np.sqrt(3.0))
 
-        def K_smooth(theta, angle):
-            sgn = jnp.where(theta < 0.0, -1.0, 1.0)
-            sin_a = float(np.sin(angle))
-            c1 = cosT - sin_a * sinT * inv_sqrt3
-            c2 = sgn * sinT + sin_a * cosT * inv_sqrt3
-            Cc = (-cos3T * c1 - 3.0 * sgn * sin3T * c2) / denom
-            Bc = (sgn * sin6T * c1 - 6.0 * cos6T * c2) / denom
-            Ac = (
-                -(sin_a * inv_sqrt3) * sgn * sinT
-                - Bc * sgn * sin3T
-                - Cc * sin3T**2
-                + cosT
-            )
-            K_in = jnp.cos(theta) - sin_a * jnp.sin(theta) * inv_sqrt3
-            K_out = Ac + Bc * jnp.sin(3.0 * theta) + Cc * jnp.sin(3.0 * theta) ** 2
-            return jnp.where(jnp.abs(theta) > theta_T, K_out, K_in)
+        def make_K_smooth(sin_fn, cos_fn):
+            def K_smooth(theta, angle):
+                sgn = jnp.where(theta < 0.0, -1.0, 1.0)
+                sin_a = float(np.sin(angle))
+                c1 = cosT - sin_a * sinT * inv_sqrt3
+                c2 = sgn * sinT + sin_a * cosT * inv_sqrt3
+                Cc = (-cos3T * c1 - 3.0 * sgn * sin3T * c2) / denom
+                Bc = (sgn * sin6T * c1 - 6.0 * cos6T * c2) / denom
+                Ac = (
+                    -(sin_a * inv_sqrt3) * sgn * sinT
+                    - Bc * sgn * sin3T
+                    - Cc * sin3T**2
+                    + cosT
+                )
+                s3t = sin_fn(3.0 * theta)
+                K_in = cos_fn(theta) - sin_a * sin_fn(theta) * inv_sqrt3
+                K_out = Ac + Bc * s3t + Cc * s3t * s3t
+                return jnp.where(jnp.abs(theta) > theta_T, K_out, K_in)
+
+            return K_smooth
 
         def _make_surface(dtype):
             DEVd = DEV.astype(dtype)
             TRd = TR.astype(dtype)
+            arcsin3_fn, sin_fn, cos_fn = _trig_fns(dtype)
+            lode_theta = make_lode_theta(arcsin3_fn)
+            K_smooth = make_K_smooth(sin_fn, cos_fn)
 
             def surface(sigma_local, angle, a_coef):
                 s = DEVd @ sigma_local

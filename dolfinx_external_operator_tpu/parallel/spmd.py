@@ -76,7 +76,7 @@ class FusedPlasticityStep:
     def __init__(self, mesh: Mesh, V, S, kernel, bc_dofs, bc_vals=None,
                  body_dir=(0.0, -1.0), device_mesh: JaxMesh | None = None,
                  newton_atol=1e-8, newton_rtol=1e-8, newton_max_it=100,
-                 cg_rtol=1e-13, cg_maxiter=10000):
+                 cg_rtol=1e-13, cg_maxiter=10000, linear_solver="cg"):
         self.mesh = mesh
         self.V = V
         self.S = S
@@ -86,6 +86,8 @@ class FusedPlasticityStep:
         self.newton_rtol = newton_rtol
         self.newton_max_it = newton_max_it
         self.cg_rtol = cg_rtol
+        assert linear_solver in ("cg", "dense")
+        self.linear_solver = linear_solver
 
         qdeg = S.element.degree
         qpts, qwts = make_quadrature(mesh.cell_type, qdeg)
@@ -253,6 +255,34 @@ class FusedPlasticityStep:
             x, r, z, p, rz, k = jax.lax.while_loop(cond, body, (x, r, z, p, rz, 0))
             return x, k
 
+        n_dofs = self.n_dofs
+        use_dense = self.linear_solver == "dense"
+
+        def dense_solve(st, C_tang, b, psum):
+            """Assembled dense tangent + Jacobi-equilibrated f32 LU with f64
+            iterative refinement (XLA:TPU has no f64 LU).  Preferred below
+            ~10k dofs where the MXU factorizes faster than sequential CG."""
+            mask = st["bc_mask"]
+            K_cell = jnp.einsum("cqik,cqij,cqjl,cq->ckl", st["B"], C_tang, st["B"], st["wdet"])
+            dof = st["dofmap"]
+            K = jnp.zeros((n_dofs + 1, n_dofs + 1), _F)
+            K = K.at[dof[:, :, None], dof[:, None, :]].add(K_cell)[:n_dofs, :n_dofs]
+            K = psum(K)
+            keep = (~mask).astype(_F)
+            K = K * keep[:, None] * keep[None, :] + jnp.diag(mask.astype(_F))
+            d = 1.0 / jnp.sqrt(jnp.clip(jnp.abs(jnp.diagonal(K)), 1e-300, None))
+            Ks = K * d[:, None] * d[None, :]
+            bs = b * d
+            lu, piv = jax.scipy.linalg.lu_factor(Ks.astype(jnp.float32))
+
+            def solve32(rr):
+                return jax.scipy.linalg.lu_solve((lu, piv), rr.astype(jnp.float32)).astype(_F)
+
+            y = solve32(bs)
+            for _ in range(3):
+                y = y + solve32(bs - Ks @ y)
+            return y * d, jnp.asarray(0)
+
         def one_step_core(st, Du, sigma_n, load, psum):
             """Full Newton solve of one load step; returns converged state."""
 
@@ -274,7 +304,10 @@ class FusedPlasticityStep:
 
             def body(state):
                 Du, r, C_tang, sigma, norm, it, cg_tot = state
-                dx, cg_k = cg_solve(st, C_tang, -r, psum)
+                if use_dense:
+                    dx, cg_k = dense_solve(st, C_tang, -r, psum)
+                else:
+                    dx, cg_k = cg_solve(st, C_tang, -r, psum)
                 Du = Du + dx
                 r, C_tang, sigma = newton_residual(Du)
                 return (Du, r, C_tang, sigma, jnp.sqrt(jnp.vdot(r, r)), it + 1, cg_tot + cg_k)
