@@ -139,17 +139,21 @@ class MohrCoulombMaterial:
             # det of the deviatoric stress in Mandel notation
             return s[2] * (s[0] * s[1] - s[3] * s[3] / 2.0)
 
-        from ..ops.poly_trig import asin3, cos_small, sin_small
-
         def _trig_fns(dtype):
-            """Native trig in f32 (fast on the VPU); range-limited polynomial
-            trig in f64 (XLA's emulated f64 transcendentals cost ~100x and
-            dominate the whole return map — measured 4.3 ms per surface eval
-            at 8192 points before this change)."""
-            if dtype == jnp.float32:
-                return (lambda x: jnp.arcsin(jnp.clip(x, -1.0, 1.0)) / 3.0,
-                        jnp.sin, jnp.cos)
-            return asin3, sin_small, cos_small
+            """Native trig for both dtypes.  (A polynomial-trig f64 variant
+            was tried — ops/poly_trig.py — but its Taylor chains blow up
+            under the double jacfwd of the return-map Jacobian: measured 3x
+            SLOWER than XLA's emulated f64 trig.  Kept for reference.)
+
+            The arcsin argument is clipped to the strict interior: at the
+            triaxial corners (Lode angle +-pi/6, arg -> +-1) arcsin' is
+            infinite and the surface Jacobian NaNs — the reference's own
+            formulation (jnp.clip to [-1, 1], :293) NaNs there when rounding
+            lands exactly on the corner.  The 1e-12 margin perturbs theta by
+            ~1.4e-6 but enters f only through sin(3 theta) (error ~1e-12)."""
+            eps = 1e-12 if dtype == jnp.float64 else 1e-6
+            return (lambda x: jnp.arcsin(jnp.clip(x, -1.0 + eps, 1.0 - eps)) / 3.0,
+                    jnp.sin, jnp.cos)
 
         def make_lode_theta(arcsin3_fn):
             def lode_theta(s):
