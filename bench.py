@@ -27,31 +27,30 @@ def _log(msg):
 
 
 def _kernel_throughput(mat, device, n_points, reps):
+    """Honest protocol: pre-staged DISTINCT inputs per rep, one blocking
+    wait over the list of outputs (repeat-identical dispatches through the
+    TPU tunnel can return unreliably fast)."""
     import jax
     import jax.numpy as jnp
 
     rng = np.random.default_rng(0)
     # strain mix resembling the slope-stability demo: compressive normal
-    # strains with ~half the points sheared past yield (apex-region tension
-    # states that defeat the reference's undamped inner Newton are excluded;
-    # they never arise under the demo's load stepping)
+    # strains with ~half the points sheared past yield
     deps = rng.normal(scale=1e-3, size=(n_points, 4))
-    deps[:, :3] -= 1.5e-3  # compressive bias
-    deps[: n_points // 2, 3] += 6e-3  # push half into yielding shear
+    deps[:, :3] -= 1.5e-3
+    deps[: n_points // 2, 3] += 6e-3
     sigma_n = np.zeros((n_points, 4))
 
     with jax.default_device(device):
-        d = jnp.asarray(deps)
         s = jnp.asarray(sigma_n)
-
-        # the production entry point (SoA batch-last layout inside)
         fn = jax.jit(lambda a, b: mat.tangent_and_stress(a.reshape(-1), b.reshape(-1))[:2])
-        out = fn(d, s)
+        inputs = [jnp.asarray(deps * (1.0 + 1e-9 * i)) for i in range(reps)]
+        jax.block_until_ready(inputs)
+        out = fn(inputs[0], s)
         jax.block_until_ready(out)
         t0 = time.perf_counter()
-        for _ in range(reps):
-            out = fn(d, s)
-        jax.block_until_ready(out)
+        outs = [fn(x, s) for x in inputs]
+        jax.block_until_ready(outs)
         dt = (time.perf_counter() - t0) / reps
     return n_points / dt
 
@@ -75,7 +74,7 @@ def _end_to_end(device):
         C_tang, state = mat.tangent_stress_point(deps, sn)
         return C_tang, state[0]
 
-    fp = FusedPlasticityStep(mesh, V, S, kernel, bc_dofs)
+    fp = FusedPlasticityStep(mesh, V, S, kernel, bc_dofs, linear_solver="dense")
     load_steps = np.concatenate([np.linspace(2, 22.9, 50), np.array([22.96, 22.99])])
 
     Du, sig = fp.zero_state()
@@ -115,11 +114,11 @@ def main():
 
     mat = MohrCoulombMaterial()
 
-    n_points = 1 << 20  # 1M Gauss points
+    n_points = 1 << 16  # 65536 Gauss points (largest validated-safe width)
     _log("bench: TPU kernel throughput...")
-    tpu_pps = _kernel_throughput(mat, accel, n_points, reps=20)
+    tpu_pps = _kernel_throughput(mat, accel, n_points, reps=10)
     _log(f"bench: TPU {tpu_pps:.3e} pts/s; CPU baseline...")
-    cpu_pps = _kernel_throughput(mat, cpu, n_points // 8, reps=2)
+    cpu_pps = _kernel_throughput(mat, cpu, n_points, reps=3)
     _log(f"bench: CPU {cpu_pps:.3e} pts/s; end-to-end...")
 
     e2e = _end_to_end(accel)

@@ -281,11 +281,14 @@ class MohrCoulombMaterial:
             norm0 = jnp.maximum(jnp.linalg.norm(res0), jnp.asarray(1e-30, f32))
 
             def cond_fun(state):
-                norm_res, niter, _ = state
-                return jnp.logical_and(norm_res / norm0 > tol32, niter < max_iter)
+                norm_res, niter, stalled, _ = state
+                return jnp.logical_and(
+                    jnp.logical_not(stalled),
+                    jnp.logical_and(norm_res / norm0 > tol32, niter < max_iter),
+                )
 
             def body_fun(state):
-                norm_res, niter, carry = state
+                norm_res, niter, _, carry = state
                 y, res = carry
                 j = drdy32(y, d32, s32)
                 dy = solve_small(j, -res)
@@ -304,9 +307,16 @@ class MohrCoulombMaterial:
                 alpha, rn, res_new = jax.lax.while_loop(
                     bt_cond, bt_body, (jnp.asarray(1.0, f32), jnp.linalg.norm(res_full), res_full)
                 )
-                return (rn, niter + 1, (y + alpha * dy, res_new))
+                # STAGNATION EXIT: no strict decrease even fully damped means
+                # the f32 rounding floor is reached — without this, every
+                # plastic point spins to the 200-iteration cap at the floor
+                # (profiled: the while accounted for ~60% of kernel time).
+                stalled = rn >= norm_res
+                return (rn, niter + 1, stalled, (y + alpha * dy, res_new))
 
-            norm_res32, niter, (y32, _) = jax.lax.while_loop(cond_fun, body_fun, (norm0, 0, (y0, res0)))
+            norm_res32, niter, _, (y32, _) = jax.lax.while_loop(
+                cond_fun, body_fun, (norm0, 0, jnp.asarray(False), (y0, res0))
+            )
 
             # f64 polish: damped Newton to the reference tolerance
             # ||r||/||r(y0)|| <= tol in FULL precision (:469).  Typically 1-2
@@ -319,14 +329,17 @@ class MohrCoulombMaterial:
             res = r64(y, deps_local, sigma_n_local)
 
             def p_cond(state):
-                norm_res, it, _ = state
+                norm_res, it, stalled, _ = state
                 return jnp.logical_or(
                     it == 0,
-                    jnp.logical_and(norm_res / norm0_64 > tol, it < n_polish_max),
+                    jnp.logical_and(
+                        jnp.logical_not(stalled),
+                        jnp.logical_and(norm_res / norm0_64 > tol, it < n_polish_max),
+                    ),
                 )
 
             def p_body(state):
-                norm_cur, it, carry = state
+                norm_cur, it, _, carry = state
                 y, res = carry
                 dy = solve_small(drdy64(y, deps_local, sigma_n_local), -res)
                 res_full = r64(y + dy, deps_local, sigma_n_local)
@@ -344,10 +357,11 @@ class MohrCoulombMaterial:
                 alpha, rn, res_new = jax.lax.while_loop(
                     bt_cond, bt_body, (jnp.asarray(1.0, f64), jnp.linalg.norm(res_full), res_full)
                 )
-                return (rn, it + 1, (y + alpha * dy, res_new))
+                stalled = rn >= norm_cur  # f64 rounding floor
+                return (rn, it + 1, stalled, (y + alpha * dy, res_new))
 
-            norm_res, niter64, (y, _) = jax.lax.while_loop(
-                p_cond, p_body, (jnp.linalg.norm(res), 0, (y, res))
+            norm_res, niter64, _, (y, _) = jax.lax.while_loop(
+                p_cond, p_body, (jnp.linalg.norm(res), 0, jnp.asarray(False), (y, res))
             )
 
             sig = y[:STRESS_DIM]
