@@ -232,7 +232,13 @@ class MohrCoulombMaterial:
             return surface(sig, psi, a_g)
 
         def _make_residual(dtype):
-            """Dtype-specialized residual/Jacobian (f32 inner loop, f64 polish)."""
+            """Dtype-specialized residual/Jacobian (f32 inner loop, f64 polish).
+
+            The elastic/plastic branch flag is an ARGUMENT: the trial-state
+            yield value is constant during the local Newton solve, and
+            evaluating the (transcendental-heavy) surface at the predictor
+            inside every residual/Jacobian evaluation roughly doubles the
+            kernel's dominant cost (f64 transcendental emulation)."""
             C = C_elas.astype(dtype)
             zerov = jnp.zeros(STRESS_DIM, dtype)
             surf_d = _make_surface(dtype)
@@ -245,19 +251,17 @@ class MohrCoulombMaterial:
 
             dg = jax.jacfwd(g_p)
 
-            def r(y, deps_local, sigma_n_local):
+            def r(y, deps_local, sigma_n_local, plastic):
                 sig, dl = y[:STRESS_DIM], y[-1]
-                yielding = f_y(sigma_n_local + C @ deps_local)
-                plastic = yielding > 0.0
                 dep_p = jnp.where(plastic, dl * dg(sig), zerov)
                 rg = sig - sigma_n_local - C @ (deps_local - dep_p)
                 rf = jnp.where(plastic, f_y(sig), dl)
                 return jnp.concatenate([rg, jnp.array([rf], dtype)])
 
-            return r, jax.jacfwd(r)
+            return r, jax.jacfwd(r), f_y
 
-        r64, drdy64 = _make_residual(jnp.float64)
-        r32, drdy32 = _make_residual(jnp.float32)
+        r64_, drdy64_, fy64 = _make_residual(jnp.float64)
+        r32_, drdy32_, _ = _make_residual(jnp.float32)
         f32, f64 = jnp.float32, jnp.float64
         n_polish_max = max(self.n_polish, 20)
         tol32 = max(tol, 1e-5)
@@ -274,6 +278,23 @@ class MohrCoulombMaterial:
             two steps from 1e-5 reach 1e-10..machine).  Backtracking damping
             in the f32 loop keeps apex-region states convergent where the
             reference's undamped Newton oscillates."""
+            # the trial-state branch, decided ONCE in f64 and shared by both
+            # precision phases (also removes f32/f64 branch-flip risk)
+            yielding = fy64(sigma_n_local + C_elas @ deps_local)
+            plastic = yielding > 0.0
+
+            def r32(y, d, s):
+                return r32_(y, d, s, plastic)
+
+            def drdy32(y, d, s):
+                return drdy32_(y, d, s, plastic)
+
+            def r64(y, d, s):
+                return r64_(y, d, s, plastic)
+
+            def drdy64(y, d, s):
+                return drdy64_(y, d, s, plastic)
+
             d32 = deps_local.astype(f32)
             s32 = sigma_n_local.astype(f32)
             y0 = jnp.concatenate([s32, jnp.zeros(1, f32)])
@@ -307,15 +328,17 @@ class MohrCoulombMaterial:
                 alpha, rn, res_new = jax.lax.while_loop(
                     bt_cond, bt_body, (jnp.asarray(1.0, f32), jnp.linalg.norm(res_full), res_full)
                 )
-                # STAGNATION EXIT: no strict decrease even fully damped means
-                # the f32 rounding floor is reached — without this, every
-                # plastic point spins to the 200-iteration cap at the floor
-                # (profiled: the while accounted for ~60% of kernel time).
-                stalled = rn >= norm_res
+                # STAGNATION EXIT: require a relative decrease per
+                # iteration.  At the f32 rounding floor Newton crawls by
+                # O(eps) per step and would otherwise spin to the
+                # 200-iteration cap (profiled: dominant kernel cost).
+                stalled = rn >= norm_res * (1.0 - 1e-3)
                 return (rn, niter + 1, stalled, (y + alpha * dy, res_new))
 
+            # initial stalled flag derived from data so its sharding
+            # "varying" type matches the body output under shard_map
             norm_res32, niter, _, (y32, _) = jax.lax.while_loop(
-                cond_fun, body_fun, (norm0, 0, jnp.asarray(False), (y0, res0))
+                cond_fun, body_fun, (norm0, 0, norm0 < -1.0, (y0, res0))
             )
 
             # f64 polish: damped Newton to the reference tolerance
@@ -357,19 +380,21 @@ class MohrCoulombMaterial:
                 alpha, rn, res_new = jax.lax.while_loop(
                     bt_cond, bt_body, (jnp.asarray(1.0, f64), jnp.linalg.norm(res_full), res_full)
                 )
-                stalled = rn >= norm_cur  # f64 rounding floor
+                stalled = rn >= norm_cur * (1.0 - 1e-3)  # f64 floor crawl
                 return (rn, it + 1, stalled, (y + alpha * dy, res_new))
 
+            norm_start = jnp.linalg.norm(res)
             norm_res, niter64, _, (y, _) = jax.lax.while_loop(
-                p_cond, p_body, (jnp.linalg.norm(res), 0, jnp.asarray(False), (y, res))
+                p_cond, p_body, (norm_start, 0, norm_start < -1.0, (y, res))
             )
 
             sig = y[:STRESS_DIM]
             dlambda = y[-1]
-            yielding = f_yield(sigma_n_local + C_elas @ deps_local)
             return sig, (sig, niter + niter64, yielding, norm_res, dlambda)
 
-        r, drdy = r64, drdy64
+        # combined Jacobian over (y, deps) in ONE forward sweep (9 tangents,
+        # shared primal) for the implicit tangent
+        drdy_and_deps = jax.jacfwd(r64_, argnums=(0, 1))
 
         def tangent_stress_point(deps_local, sigma_n_local):
             """Consistent tangent via the implicit function theorem.
@@ -383,9 +408,9 @@ class MohrCoulombMaterial:
             carries O(iters) tangent temporaries)."""
             sig, aux = return_mapping(deps_local, sigma_n_local)
             (_, niter, yielding, norm_res, dlambda) = aux
+            plastic = yielding > 0.0
             y = jnp.concatenate([sig, jnp.array([dlambda])])
-            j = drdy(y, deps_local, sigma_n_local)
-            drde = jax.jacfwd(r, argnums=1)(y, deps_local, sigma_n_local)  # (5, 4)
+            j, drde = drdy_and_deps(y, deps_local, sigma_n_local, plastic)
             dy_ddeps = solve_small(j, -drde)
             C_tang = dy_ddeps[:STRESS_DIM, :]
             return C_tang, aux
