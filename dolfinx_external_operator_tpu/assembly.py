@@ -28,11 +28,9 @@ from .compile import (
     analyze,
     coefficient_inputs,
     eval_expr,
-    gather_coefficient,
     geometry_factors,
 )
 from .elements import Element
-from .function import Constant, Function
 from .mesh import CELL_FACETS, FACET_CELL, REFERENCE_VERTICES, Mesh
 from .quadrature import make_quadrature
 

@@ -12,13 +12,13 @@ from __future__ import annotations
 
 import numpy as np
 
-import jax
+
 import jax.numpy as jnp
 
 from . import sym
 from .elements import Element
 from .function import Constant, Function
-from .mesh import CELL_FACETS, REFERENCE_VERTICES, Mesh
+from .mesh import Mesh
 
 __all__ = ["eval_expr", "geometry_factors", "CellBatch", "analyze"]
 

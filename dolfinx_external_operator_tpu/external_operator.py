@@ -35,7 +35,7 @@ import numpy as np
 import jax.numpy as jnp
 
 from . import sym
-from .elements import Element, MixedElement, element as make_element, mixed_element, quadrature_element
+from .elements import Element, element as make_element, mixed_element, quadrature_element
 from .expression import Expression
 from .function import Function
 from .functionspace import FunctionSpace, functionspace

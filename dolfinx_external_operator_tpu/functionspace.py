@@ -15,7 +15,7 @@ from __future__ import annotations
 
 import numpy as np
 
-from .elements import Element, MixedElement, element as make_element, quadrature_element
+from .elements import Element, MixedElement, element as make_element
 from .mesh import Mesh
 
 __all__ = ["FunctionSpace", "DualSpace", "functionspace"]

@@ -15,8 +15,6 @@ All functions are pure polynomial/arithmetic f64 -> cheap under jacfwd
 
 from __future__ import annotations
 
-import numpy as np
-
 import jax.numpy as jnp
 
 __all__ = ["sin_small", "cos_small", "asin3"]

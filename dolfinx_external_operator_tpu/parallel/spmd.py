@@ -33,7 +33,6 @@ from jax import shard_map
 from jax.sharding import Mesh as JaxMesh
 from jax.sharding import NamedSharding, PartitionSpec as P
 
-from ..compile import geometry_factors
 from ..elements import Element
 from ..mesh import Mesh
 from ..quadrature import make_quadrature
