@@ -157,7 +157,17 @@ class NewtonSolver:
             u._data = u._data + delta
             it += 1
             r, A = residual()
-            norm = float(jnp.linalg.norm(r))
+            new_norm = float(jnp.linalg.norm(r))
+            # divergence-only backtracking: full steps on nominal paths (the
+            # reference's "basic" line search), halved steps only when the
+            # residual grows strongly (robustness; the reference would fail)
+            alpha = 1.0
+            while new_norm > 2.0 * norm and alpha > 2**-8:
+                u._data = u._data - alpha * 0.5 * delta  # retract to alpha/2
+                alpha *= 0.5
+                r, A = residual()
+                new_norm = float(jnp.linalg.norm(r))
+            norm = new_norm
             if self.monitor:
                 print(f"  {it} SNES Function norm {norm:.12e}")
             converged = norm < self.atol or norm < self.rtol * max(norm0, 1e-300)

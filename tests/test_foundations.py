@@ -166,3 +166,28 @@ def test_interpolation_and_probe():
     cells, pts = find_cell_by_point(mesh, pt)
     val = f.eval(pts, cells)
     assert abs(float(val[0]) - (0.33**2 + 3 * 0.47)) < 1e-11
+
+
+def test_facet_normal_divergence_theorem_quads():
+    """Same divergence-theorem check on a quadrilateral mesh (bilinear
+    geometry, tensor quadrature)."""
+    mesh = fem.create_unit_square(4, 4, "quadrilateral")
+    x = fem.SpatialCoordinate(mesh)
+    n = fem.FacetNormal(mesh)
+    u = fem.as_vector([x[0] ** 2, x[0] * x[1]])
+    ds = fem.Measure("ds", domain=mesh, metadata={"quadrature_degree": 4})
+    lhs = float(fem.assemble_scalar(fem.dot(u, n) * ds))
+    assert abs(lhs - 1.5) < 1e-12
+
+
+def test_unique_external_operators():
+    from dolfinx_external_operator_tpu import FEMExternalOperator, unique_external_operators
+
+    mesh = fem.create_unit_square(2, 2)
+    V = fem.functionspace(mesh, ("Lagrange", 1))
+    u = fem.Function(V)
+    Q = fem.functionspace(mesh, fem.quadrature_element(mesh.cell_name(), 1))
+    N1 = FEMExternalOperator(u, function_space=Q)
+    N2 = FEMExternalOperator(u, function_space=Q)
+    uniq = unique_external_operators([N1, N2, N1])
+    assert len(uniq) == 1  # same operands/space/derivatives -> one representative
