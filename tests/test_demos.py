@@ -19,7 +19,10 @@ DEMOS = os.path.join(os.path.dirname(__file__), "..", "demos")
 def test_demo_runs(demo, args):
     env = dict(os.environ)
     env["JAX_PLATFORMS"] = "cpu"
-    env["PYTHONPATH"] = os.path.abspath(os.path.join(DEMOS, "..")) + os.pathsep + env.get("PYTHONPATH", "")
+    # PYTHONPATH must NOT include /root/.axon_site: its sitecustomize
+    # overrides JAX_PLATFORMS back to the tunneled TPU, silently running the
+    # demo on the single-client device (contention -> flaky convergence)
+    env["PYTHONPATH"] = os.path.abspath(os.path.join(DEMOS, ".."))
     r = subprocess.run([sys.executable, os.path.join(DEMOS, demo), *args],
                        capture_output=True, text=True, timeout=1200, env=env)
     assert r.returncode == 0, r.stdout[-2000:] + r.stderr[-2000:]
