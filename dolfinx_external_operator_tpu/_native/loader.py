@@ -16,13 +16,34 @@ _LIB = None
 _TRIED = False
 
 
+def _try_build(path: str) -> bool:
+    """Build the library from csrc/topology.cpp on first use (the binary is
+    deliberately NOT committed — it must always come from the reviewed
+    source next to it; ADVICE r1)."""
+    import shutil
+    import subprocess
+
+    src = os.path.normpath(os.path.join(os.path.dirname(__file__), "..", "..", "csrc", "topology.cpp"))
+    cxx = shutil.which(os.environ.get("CXX", "g++"))
+    if not (os.path.exists(src) and cxx):
+        return False
+    try:
+        subprocess.run(
+            [cxx, "-O3", "-fPIC", "-std=c++17", "-shared", "-o", path, src],
+            check=True, capture_output=True, timeout=120,
+        )
+    except Exception:
+        return False
+    return os.path.exists(path)
+
+
 def _load():
     global _LIB, _TRIED
     if _TRIED:
         return _LIB
     _TRIED = True
     path = os.path.join(os.path.dirname(__file__), "libtpufem_topology.so")
-    if not os.path.exists(path):
+    if not os.path.exists(path) and not _try_build(path):
         return None
     lib = ctypes.CDLL(path)
     i32p = np.ctypeslib.ndpointer(np.int32, flags="C_CONTIGUOUS")

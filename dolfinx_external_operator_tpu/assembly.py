@@ -677,13 +677,15 @@ def _apply_bc_matrix(A, bcs):
 
 
 def apply_lifting(b, J_form, bcs, x0, scale=-1.0):
-    """b += scale * A @ (g - x0) on free rows (reference ``apply_lifting``
-    call in ``petsc/petsc.py:66``)."""
+    """b -= scale * A @ (g - x0) on free rows — DOLFINx ``apply_lifting``
+    semantics (reference call in ``petsc/petsc.py:66``): with the usual
+    ``scale=-1.0`` this ADDS ``A @ (g - x0)`` so that solving
+    ``J delta = -b`` yields the correctly lifted Newton update."""
     A = create_form(J_form).matrix()
     n = b.shape[0]
     mask, g = bc_arrays(bcs, n)
     dx = jnp.where(mask, g - x0, 0.0)
-    return b + scale * (A @ dx)
+    return b - scale * (A @ dx)
 
 
 def set_bc(b, bcs, x0=None, scale=-1.0):

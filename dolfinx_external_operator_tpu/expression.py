@@ -111,7 +111,9 @@ class Expression:
         ``Expression.eval`` entity convention)."""
         if cells is not None and np.asarray(cells).ndim == 2:
             return self._eval_facets(mesh, np.asarray(cells, dtype=np.int32))
-        key = None if cells is None else (int(cells[0]) if len(cells) else 0, len(cells), int(np.sum(cells)) if len(cells) else 0)
+        # content-hash the cell subset: two different subsets must never
+        # share a compiled kernel (the statics bake in the gathered cells)
+        key = None if cells is None else np.asarray(cells, dtype=np.int64).tobytes()
         hit = self._cache.get(key)
         if hit is None:
             hit = self._compile(mesh, key, cells)

@@ -420,10 +420,10 @@ class MohrCoulombMaterial:
         self.return_mapping = return_mapping
         self.dsigma_ddeps = jax.jacfwd(return_mapping, has_aux=True)  # reference-style path
         self.tangent_stress_point = tangent_stress_point  # implicit path (default)
-        # CRITICAL TPU layout: vmap with the batch axis LAST (structure-of-
-        # arrays).  Batch-first puts the tiny per-point dims (4, 5x5) into
-        # the (8,128) vector lanes — ~3% VPU utilization and ~4000x slower
-        # measured on v5e.  Batch-last keeps lanes full.
+        # Batch-last (SoA) variants keep the Gauss-point axis in the vector
+        # lanes; measured perf-neutral vs batch-first on v5e (NOTES.md
+        # "Failed experiments") — both layouts kept for callers that already
+        # hold data one way or the other.
         self._vmapped_soa = jax.jit(
             jax.vmap(tangent_stress_point, in_axes=(-1, -1), out_axes=(-1, (-1, -1, -1, -1, -1)))
         )

@@ -150,8 +150,10 @@ class FusedPlasticityStep:
             "bc_mask": jnp.asarray(self.bc_mask_np),
             "bc_vals": jnp.asarray(bc_vals_np, _F),
         }
-        # batch-LAST vmap (SoA): keeps the TPU vector lanes full on the tiny
-        # per-point tensors (measured ~4000x over batch-first on v5e)
+        # batch-LAST vmap (SoA) so XLA lays the Gauss-point axis along the
+        # vector lanes; measured perf-neutral vs batch-first on v5e
+        # (NOTES.md "Failed experiments") but kept for layout consistency
+        # with the sharded statics below.
         self._vkernel = jax.vmap(kernel, in_axes=(-1, -1), out_axes=(-1, -1))
 
         if device_mesh is not None:

@@ -32,7 +32,14 @@ def assemble_residual_with_callback(u, F, J, bcs, external_callback, args_extern
         solver.set_external_callback(external_callback, args_external_callback)
         return solver
     # direct invocation: run the callback and return the BC-adjusted residual
+    # (assemble -> apply_lifting -> set_bc, mirroring the reference shim's
+    # petsc/petsc.py:64-68 ordering).
     external_callback(*args_external_callback)
-    from .assembly import create_form
+    from .assembly import apply_lifting, create_form, set_bc
 
-    return create_form(F).vector()
+    b = create_form(F).vector()
+    if bcs:
+        x0 = u.data if x is None else x
+        b = apply_lifting(b, J, bcs, x0, scale=-1.0)
+        b = set_bc(b, bcs, x0, scale=-1.0)
+    return b

@@ -111,7 +111,20 @@ def _duffy_tet(degree: int):
 
 @lru_cache(maxsize=None)
 def make_quadrature(cell_type: str, degree: int):
-    """Return (points (n, tdim), weights (n,)) exact to ``degree``."""
+    """Return (points (n, tdim), weights (n,)) exact to ``degree``.
+
+    The returned arrays are cached process-wide and marked read-only so a
+    caller mutating them cannot corrupt the cache; copy before writing.
+    """
+    pts, w = _make_quadrature_impl(cell_type, degree)
+    pts = np.asarray(pts)
+    w = np.asarray(w)
+    pts.flags.writeable = False
+    w.flags.writeable = False
+    return pts, w
+
+
+def _make_quadrature_impl(cell_type: str, degree: int):
     degree = int(degree)
     if cell_type == "point":
         return np.zeros((1, 0)), np.ones(1)
