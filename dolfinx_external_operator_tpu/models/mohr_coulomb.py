@@ -57,36 +57,49 @@ STRESS_DIM = 4
 
 
 def solve_small(A, b):
-    """Unrolled partially-pivoted Gaussian elimination for small static n.
+    """Fully-unrolled SCALAR Gaussian elimination with partial pivoting.
 
-    f64-safe on TPU (no LuDecomposition); differentiable (forward-mode flows
-    through the arithmetic; pivot choice is treated as locally constant).
-    ``b`` may be a vector (n,) or a block of right-hand sides (n, m)."""
+    f64-safe on TPU (no LuDecomposition) and differentiable (forward-mode
+    flows through the arithmetic; pivot choice is locally constant).
+    ``b`` may be a vector (n,) or a block of right-hand sides (n, m).
+
+    TPU-critical design: every matrix entry is held as a SCALAR, so under
+    ``jax.vmap`` each becomes a flat (batch,)-shaped array and the whole
+    elimination lowers to elementwise VPU ops on well-tiled vectors.  The
+    previous matrix-form variant (one-hot row swaps on a vmapped (5, 6)
+    augmented matrix) forced XLA into T(1,128)-tiled [batch, 5, 6] tensors
+    running at ~5 GFLOP/s — profiled r2 as the dominant kernel cost.
+    Pivoting here is pairwise max-bubbling (row k conditionally swapped
+    with each row below), which selects the same pivot as argmax."""
     n = A.shape[0]
     vec = b.ndim == 1
     B = b[:, None] if vec else b
     m = B.shape[1]
-    aug = jnp.concatenate([A, B], axis=1)
-    idx = jnp.arange(n)
+    # unpack to scalars: rows of the augmented system [A | B]
+    rows = [[A[i, j] for j in range(n)] + [B[i, j] for j in range(m)] for i in range(n)]
     for k in range(n):
-        col = jnp.abs(aug[:, k])
-        col = jnp.where(idx < k, -jnp.inf, col)
-        piv = jnp.argmax(col)
-        # one-hot row swap: no dynamic gather/scatter (those vectorize
-        # terribly under wide vmap on TPU and blow up compile time)
-        onehot_p = (idx == piv).astype(aug.dtype)
-        rowp = onehot_p @ aug  # == aug[piv]
-        rowk = aug[k]
-        is_k = (idx == k)[:, None]
-        is_p = (idx == piv)[:, None]
-        aug = jnp.where(is_k, rowp[None, :], jnp.where(is_p, rowk[None, :], aug))
-        factor = aug[:, k] / aug[k, k]
-        factor = jnp.where(idx <= k, 0.0, factor)
-        aug = aug - factor[:, None] * aug[k][None, :]
-    x = jnp.zeros((n, m), dtype=aug.dtype)
+        for i in range(k + 1, n):
+            do_swap = jnp.abs(rows[i][k]) > jnp.abs(rows[k][k])
+            for j in range(k, n + m):
+                rk, ri = rows[k][j], rows[i][j]
+                rows[k][j] = jnp.where(do_swap, ri, rk)
+                rows[i][j] = jnp.where(do_swap, rk, ri)
+        inv_piv = 1.0 / rows[k][k]
+        for i in range(k + 1, n):
+            f = rows[i][k] * inv_piv
+            for j in range(k + 1, n + m):
+                rows[i][j] = rows[i][j] - f * rows[k][j]
+    # back substitution
+    x = [[None] * m for _ in range(n)]
     for i in range(n - 1, -1, -1):
-        x = x.at[i].set((aug[i, n:] - aug[i, i + 1 : n] @ x[i + 1 : n]) / aug[i, i])
-    return x[:, 0] if vec else x
+        inv_d = 1.0 / rows[i][i]
+        for j in range(m):
+            acc = rows[i][n + j]
+            for kk in range(i + 1, n):
+                acc = acc - rows[i][kk] * x[kk][j]
+            x[i][j] = acc * inv_d
+    out = jnp.stack([jnp.stack(xi) for xi in x])
+    return out[:, 0] if vec else out
 
 
 class MohrCoulombMaterial:
@@ -98,12 +111,18 @@ class MohrCoulombMaterial:
 
     def __init__(self, E=6778.0, nu=0.25, c=3.45, phi=30 * np.pi / 180,
                  psi=30 * np.pi / 180, theta_T=26 * np.pi / 180, a=None,
-                 tol=1e-8, max_iter=200, n_polish=2):
+                 tol=1e-8, max_iter=200, n_polish=2, max_iter32=40, tol32=1e-5):
         self.E, self.nu, self.c = E, nu, c
         self.phi, self.psi, self.theta_T = phi, psi, theta_T
         self.a = 0.26 * c / np.tan(phi) if a is None else a
         self.tol, self.max_iter = tol, max_iter
         self.n_polish = n_polish
+        # f32 phase budget: typical plastic states converge in <= 12 f32
+        # iterations; apex corner cases that would crawl past this cap are
+        # handed to the damped f64 polish instead of gating the whole
+        # vmapped batch (the while_loop runs to the max-lane count).
+        self.max_iter32 = max_iter32
+        self.tol32 = tol32
 
         lmbda = E * nu / ((1.0 + nu) * (1.0 - 2.0 * nu))
         mu = E / (2.0 * (1.0 + nu))
@@ -119,221 +138,152 @@ class MohrCoulombMaterial:
 
     # -- yield surface with Abbo-Sloan smoothing (reference :282-374) ----
     def _build(self):
+        from ..ops.abbo_sloan import make_surface
+
         c, phi, psi, theta_T, a = self.c, self.phi, self.psi, self.theta_T, self.a
         C_elas = jnp.asarray(self.C_elas)
-        DEV = jnp.asarray(
-            [
-                [2 / 3, -1 / 3, -1 / 3, 0.0],
-                [-1 / 3, 2 / 3, -1 / 3, 0.0],
-                [-1 / 3, -1 / 3, 2 / 3, 0.0],
-                [0.0, 0.0, 0.0, 1.0],
-            ]
-        )
-        TR = jnp.asarray([1.0, 1.0, 1.0, 0.0])
         tol, max_iter = self.tol, self.max_iter
-
-        def J2(s):
-            return 0.5 * jnp.vdot(s, s)
-
-        def J3(s):
-            # det of the deviatoric stress in Mandel notation
-            return s[2] * (s[0] * s[1] - s[3] * s[3] / 2.0)
-
-        def _trig_fns(dtype):
-            """Native trig for both dtypes.  (A polynomial-trig f64 variant
-            was tried — ops/poly_trig.py — but its Taylor chains blow up
-            under the double jacfwd of the return-map Jacobian: measured 3x
-            SLOWER than XLA's emulated f64 trig.  Kept for reference.)
-
-            The arcsin argument is clipped to the strict interior: at the
-            triaxial corners (Lode angle +-pi/6, arg -> +-1) arcsin' is
-            infinite and the surface Jacobian NaNs — the reference's own
-            formulation (jnp.clip to [-1, 1], :293) NaNs there when rounding
-            lands exactly on the corner.  The 1e-12 margin perturbs theta by
-            ~1.4e-6 but enters f only through sin(3 theta) (error ~1e-12)."""
-            eps = 1e-12 if dtype == jnp.float64 else 1e-6
-            return (lambda x: jnp.arcsin(jnp.clip(x, -1.0 + eps, 1.0 - eps)) / 3.0,
-                    jnp.sin, jnp.cos)
-
-        def make_lode_theta(arcsin3_fn):
-            def lode_theta(s):
-                # guarded at s == 0 (J2 = 0): the reference divides unguarded
-                # (:292) and relies on float noise; exact zero would NaN
-                # through jnp.where-evaluated branches under vmap.
-                J2_ = J2(s)
-                safe = J2_ > 0.0
-                J2s = jnp.where(safe, J2_, 1.0)
-                arg = -(float(3.0 * np.sqrt(3.0)) * J3(s)) / (2.0 * jnp.sqrt(J2s**3))
-                arg = jnp.where(safe, arg, 0.0)
-                return arcsin3_fn(jnp.clip(arg, -1.0, 1.0))
-
-            return lode_theta
-
-        # NOTE: all precomputed scalars as PYTHON floats (weak-typed) — numpy
-        # float64 scalars are strong-typed in JAX and would silently upcast
-        # the f32 inner-Newton path back to emulated f64.
-        cos3T, sin3T = float(np.cos(3 * theta_T)), float(np.sin(3 * theta_T))
-        cos6T, sin6T = float(np.cos(6 * theta_T)), float(np.sin(6 * theta_T))
-        denom = float(18.0 * cos3T**3)
-        cosT, sinT = float(np.cos(theta_T)), float(np.sin(theta_T))
-        inv_sqrt3 = float(1.0 / np.sqrt(3.0))
-
-        def make_K_smooth(sin_fn, cos_fn):
-            def K_smooth(theta, angle):
-                sgn = jnp.where(theta < 0.0, -1.0, 1.0)
-                sin_a = float(np.sin(angle))
-                c1 = cosT - sin_a * sinT * inv_sqrt3
-                c2 = sgn * sinT + sin_a * cosT * inv_sqrt3
-                Cc = (-cos3T * c1 - 3.0 * sgn * sin3T * c2) / denom
-                Bc = (sgn * sin6T * c1 - 6.0 * cos6T * c2) / denom
-                Ac = (
-                    -(sin_a * inv_sqrt3) * sgn * sinT
-                    - Bc * sgn * sin3T
-                    - Cc * sin3T**2
-                    + cosT
-                )
-                s3t = sin_fn(3.0 * theta)
-                K_in = cos_fn(theta) - sin_a * sin_fn(theta) * inv_sqrt3
-                K_out = Ac + Bc * s3t + Cc * s3t * s3t
-                return jnp.where(jnp.abs(theta) > theta_T, K_out, K_in)
-
-            return K_smooth
-
-        def _make_surface(dtype):
-            DEVd = DEV.astype(dtype)
-            TRd = TR.astype(dtype)
-            arcsin3_fn, sin_fn, cos_fn = _trig_fns(dtype)
-            lode_theta = make_lode_theta(arcsin3_fn)
-            K_smooth = make_K_smooth(sin_fn, cos_fn)
-
-            def surface(sigma_local, angle, a_coef):
-                s = DEVd @ sigma_local
-                I1 = TRd @ sigma_local
-                th = lode_theta(s)
-                K = K_smooth(th, angle)
-                sin_a = float(np.sin(angle))
-                return (
-                    I1 / 3.0 * sin_a
-                    + jnp.sqrt(J2(s) * K * K + float((a_coef * sin_a) ** 2))
-                    - float(c * np.cos(angle))
-                )
-
-            return surface
-
-        surface = _make_surface(jnp.float64)
+        f32, f64 = jnp.float32, jnp.float64
 
         a_f = float(a)
         a_g = float(a * np.tan(phi) / np.tan(psi))
 
+        # closed-form surface value+gradient+Hessian (ops/abbo_sloan.py):
+        # ONE (arcsin, sin, cos) transcendental set per evaluation instead of
+        # the reference's jacfwd-of-jacfwd chains (:282-374, :474-533) —
+        # crucial on TPU where f64 transcendentals are software-emulated.
+        terms_f64_f, _ = make_surface(c, phi, a_f, theta_T, f64)
+        terms_f64_g, _ = make_surface(c, psi, a_g, theta_T, f64)
+        terms_f32_f, _ = make_surface(c, phi, a_f, theta_T, f32)
+        terms_f32_g, _ = make_surface(c, psi, a_g, theta_T, f32)
+
         def f_yield(sig):
-            return surface(sig, phi, a_f)
+            return terms_f64_f(sig)[0]
 
         def g_pot(sig):
-            return surface(sig, psi, a_g)
+            return terms_f64_g(sig)[0]
 
-        def _make_residual(dtype):
-            """Dtype-specialized residual/Jacobian (f32 inner loop, f64 polish).
+        def _make_rj(dtype):
+            """Closed-form residual and Newton Jacobian of the return map.
 
-            The elastic/plastic branch flag is an ARGUMENT: the trial-state
-            yield value is constant during the local Newton solve, and
-            evaluating the (transcendental-heavy) surface at the predictor
-            inside every residual/Jacobian evaluation roughly doubles the
-            kernel's dominant cost (f64 transcendental emulation)."""
+            r(y) with y = (sigma, dlambda), plastic branch
+            (reference residual :474-491):
+              rg = sigma - sigma_n - C (deps - dl * grad_g(sigma))
+              rf = f(sigma)
+            elastic branch: rg = sigma - sigma_n - C deps, rf = dl.
+            The Jacobian follows analytically:
+              J = [[I + dl C Hg,  C grad_g], [grad_f^T, 0]]  (plastic)
+              J = I_5                                         (elastic)
+            and dr/ddeps = [[-C], [0]] is CONSTANT, so the implicit tangent
+            needs no AD at all."""
             C = C_elas.astype(dtype)
-            zerov = jnp.zeros(STRESS_DIM, dtype)
-            surf_d = _make_surface(dtype)
+            I4 = jnp.eye(STRESS_DIM, dtype=dtype)
+            terms_f = terms_f64_f if dtype == f64 else terms_f32_f
+            terms_g = terms_f64_g if dtype == f64 else terms_f32_g
 
-            def f_y(sig):
-                return surf_d(sig, phi, a_f)
-
-            def g_p(sig):
-                return surf_d(sig, psi, a_g)
-
-            dg = jax.jacfwd(g_p)
-
-            def r(y, deps_local, sigma_n_local, plastic):
+            def r_only(y, deps_local, sigma_n_local, plastic):
                 sig, dl = y[:STRESS_DIM], y[-1]
-                dep_p = jnp.where(plastic, dl * dg(sig), zerov)
-                rg = sig - sigma_n_local - C @ (deps_local - dep_p)
-                rf = jnp.where(plastic, f_y(sig), dl)
-                return jnp.concatenate([rg, jnp.array([rf], dtype)])
+                _, dg = terms_g(sig)
+                ff, _ = terms_f(sig)
+                dlp = jnp.where(plastic, dl, 0.0)
+                rg = sig - sigma_n_local - C @ (deps_local - dlp * dg)
+                rf = jnp.where(plastic, ff, dl)
+                return jnp.concatenate([rg, rf[None]])
 
-            return r, jax.jacfwd(r), f_y
+            def r_and_j(y, deps_local, sigma_n_local, plastic):
+                sig, dl = y[:STRESS_DIM], y[-1]
+                # ONE primal pass through the potential surface (one
+                # transcendental set); gradient comes with it and the
+                # Hessian columns are 4 linear (algebraic) tangent passes.
+                (_, dg), g_lin = jax.linearize(terms_g, sig)
+                Hg = jnp.stack([g_lin(I4[k])[1] for k in range(STRESS_DIM)], axis=1)
+                ff, df = terms_f(sig)
+                dlp = jnp.where(plastic, dl, 0.0)
+                rg = sig - sigma_n_local - C @ (deps_local - dlp * dg)
+                rf = jnp.where(plastic, ff, dl)
+                r = jnp.concatenate([rg, rf[None]])
+                Jgg = I4 + dlp * (C @ Hg)
+                Jgl = jnp.where(plastic, C @ dg, jnp.zeros(STRESS_DIM, dtype))
+                Jfg = jnp.where(plastic, df, jnp.zeros(STRESS_DIM, dtype))
+                Jfl = jnp.where(plastic, 0.0, 1.0).astype(dtype)
+                top = jnp.concatenate([Jgg, Jgl[:, None]], axis=1)
+                bot = jnp.concatenate([Jfg, Jfl[None]])[None, :]
+                return r, jnp.concatenate([top, bot], axis=0)
 
-        r64_, drdy64_, fy64 = _make_residual(jnp.float64)
-        r32_, drdy32_, _ = _make_residual(jnp.float32)
-        f32, f64 = jnp.float32, jnp.float64
-        n_polish_max = max(self.n_polish, 20)
-        tol32 = max(tol, 1e-5)
+            return r_only, r_and_j
+
+        r32, rj32 = _make_rj(f32)
+        r64, rj64 = _make_rj(f64)
+        n_polish_max = max(self.n_polish, 60)
+        tol32 = max(tol, self.tol32)
+        max_iter32 = min(max_iter, self.max_iter32)
 
         def return_mapping(deps_local, sigma_n_local):
-            """Mixed-precision Newton return map (reference algorithm :474-533,
-            TPU-first precision split).
+            """Mixed-precision Newton return map (reference algorithm
+            :474-533, TPU-first redesign).
 
-            The iteration runs in f32 — native on the TPU VPU, an order of
-            magnitude cheaper than software-emulated f64 trig — to a relative
-            tolerance of ~1e-5, then a fixed number of straight-line f64
-            Newton polish steps restores full double-precision accuracy
-            (quadratic convergence: each polish step squares the error, so
-            two steps from 1e-5 reach 1e-10..machine).  Backtracking damping
-            in the f32 loop keeps apex-region states convergent where the
-            reference's undamped Newton oscillates."""
-            # the trial-state branch, decided ONCE in f64 and shared by both
-            # precision phases (also removes f32/f64 branch-flip risk)
-            yielding = fy64(sigma_n_local + C_elas @ deps_local)
+            Initialized at the TRIAL state (sigma_tr = sigma_n + C deps,
+            dl = 0): elastic points then have an exactly-zero residual and
+            take ZERO iterations in both phases — the elastic/plastic
+            partition the r1 VERDICT asked for, with no compaction pass.
+            Plastic points iterate in f32 (native TPU VPU trig) to ~1e-5
+            relative, then f64 Newton polish restores the reference
+            tolerance (:469); backtracking damps apex-region states."""
+            sig_tr = sigma_n_local + C_elas @ deps_local
+            yielding, _ = terms_f64_f(sig_tr)
             plastic = yielding > 0.0
 
-            def r32(y, d, s):
-                return r32_(y, d, s, plastic)
-
-            def drdy32(y, d, s):
-                return drdy32_(y, d, s, plastic)
-
-            def r64(y, d, s):
-                return r64_(y, d, s, plastic)
-
-            def drdy64(y, d, s):
-                return drdy64_(y, d, s, plastic)
+            # convergence scale: the elastic-predictor residual magnitude
+            # (||C deps|| + trial yield), NOT ||r(y_trial)|| which is 0/f_tr
+            # and would make the relative test degenerate.
+            scale0 = jnp.maximum(
+                jnp.sqrt(jnp.vdot(C_elas @ deps_local, C_elas @ deps_local)
+                         + jnp.where(plastic, yielding, 0.0) ** 2),
+                1e-30,
+            )
+            scale0_32 = scale0.astype(f32)
 
             d32 = deps_local.astype(f32)
             s32 = sigma_n_local.astype(f32)
-            y0 = jnp.concatenate([s32, jnp.zeros(1, f32)])
-            res0 = r32(y0, d32, s32)
-            norm0 = jnp.maximum(jnp.linalg.norm(res0), jnp.asarray(1e-30, f32))
+            y0 = jnp.concatenate([sig_tr.astype(f32), jnp.zeros(1, f32)])
+            res0 = r32(y0, d32, s32, plastic)
+            norm0 = jnp.linalg.norm(res0)
 
             def cond_fun(state):
                 norm_res, niter, stalled, _ = state
                 return jnp.logical_and(
                     jnp.logical_not(stalled),
-                    jnp.logical_and(norm_res / norm0 > tol32, niter < max_iter),
+                    jnp.logical_and(norm_res / scale0_32 > tol32, niter < max_iter32),
                 )
+
+            alphas32 = jnp.asarray([1.0, 0.5, 0.25, 0.0625, 2.0**-6, 2.0**-10], f32)
+            n_a32 = alphas32.shape[0]
 
             def body_fun(state):
                 norm_res, niter, _, carry = state
                 y, res = carry
-                j = drdy32(y, d32, s32)
+                res_j, j = rj32(y, d32, s32, plastic)
                 dy = solve_small(j, -res)
-                res_full = r32(y + dy, d32, s32)
-
-                def bt_cond(s):
-                    alpha, rn, _ = s
-                    return jnp.logical_and(rn >= norm_res, alpha > 2**-10)
-
-                def bt_body(s):
-                    alpha, _, _ = s
-                    alpha = alpha * 0.5
-                    rt = r32(y + alpha * dy, d32, s32)
-                    return (alpha, jnp.linalg.norm(rt), rt)
-
-                alpha, rn, res_new = jax.lax.while_loop(
-                    bt_cond, bt_body, (jnp.asarray(1.0, f32), jnp.linalg.norm(res_full), res_full)
-                )
-                # STAGNATION EXIT: require a relative decrease per
-                # iteration.  At the f32 rounding floor Newton crawls by
-                # O(eps) per step and would otherwise spin to the
-                # 200-iteration cap (profiled: dominant kernel cost).
+                # STRAIGHT-LINE damping: evaluate all candidate step lengths
+                # in one vectorized sweep and pick the first that reduces
+                # ||r|| (smallest as safeguard when none do).  A nested
+                # backtracking while_loop costs an XLA control-flow
+                # transition per halving — profiled r2: transitions, not
+                # compute, dominate this kernel.
+                ys = y[None, :] + alphas32[:, None] * dy[None, :]
+                res_c = jax.vmap(lambda yy: r32(yy, d32, s32, plastic))(ys)
+                norms = jnp.sqrt(jnp.sum(res_c * res_c, axis=1))
+                improving = norms < norm_res
+                idx = jnp.where(jnp.any(improving), jnp.argmax(improving), n_a32 - 1)
+                onehot = (jnp.arange(n_a32) == idx).astype(f32)
+                y_new = onehot @ ys
+                res_new = onehot @ res_c
+                rn = onehot @ norms
+                # STAGNATION EXIT: require a relative decrease per iteration.
+                # At the f32 rounding floor Newton crawls by O(eps) per step
+                # and would otherwise spin to the iteration cap.
                 stalled = rn >= norm_res * (1.0 - 1e-3)
-                return (rn, niter + 1, stalled, (y + alpha * dy, res_new))
+                return (rn, niter + 1, stalled, (y_new, res_new))
 
             # initial stalled flag derived from data so its sharding
             # "varying" type matches the body output under shard_map
@@ -342,46 +292,42 @@ class MohrCoulombMaterial:
             )
 
             # f64 polish: damped Newton to the reference tolerance
-            # ||r||/||r(y0)|| <= tol in FULL precision (:469).  Typically 1-2
-            # iterations from the f32 iterate; also guarantees the implicit
-            # tangent sees deps-dependence even where the f32 loop exits
-            # immediately (at least one iteration is forced).
-            y = y32.astype(f64)
-            y0_64 = jnp.concatenate([sigma_n_local, jnp.zeros(1, f64)])
-            norm0_64 = jnp.maximum(jnp.linalg.norm(r64(y0_64, deps_local, sigma_n_local)), 1e-300)
-            res = r64(y, deps_local, sigma_n_local)
+            # ||r||/scale <= tol in FULL precision (:469).  Typically 1-2
+            # iterations from the f32 iterate.  Elastic lanes restart from
+            # the EXACT f64 trial state (zero residual -> zero iterations).
+            y_el = jnp.concatenate([sig_tr, jnp.zeros(1, f64)])
+            y = jnp.where(plastic, y32.astype(f64), y_el)
+            res = r64(y, deps_local, sigma_n_local, plastic)
 
             def p_cond(state):
                 norm_res, it, stalled, _ = state
-                return jnp.logical_or(
-                    it == 0,
-                    jnp.logical_and(
-                        jnp.logical_not(stalled),
-                        jnp.logical_and(norm_res / norm0_64 > tol, it < n_polish_max),
-                    ),
+                return jnp.logical_and(
+                    jnp.logical_not(stalled),
+                    jnp.logical_and(norm_res / scale0 > tol, it < n_polish_max),
                 )
+
+            # polish line search: most lanes arrive in the quadratic basin
+            # (alpha = 1); the short candidate list covers lanes the capped
+            # f32 phase punted, without a nested while_loop (see body_fun).
+            alphas64 = jnp.asarray([1.0, 0.25, 2.0**-10], f64)
+            n_a64 = alphas64.shape[0]
 
             def p_body(state):
                 norm_cur, it, _, carry = state
                 y, res = carry
-                dy = solve_small(drdy64(y, deps_local, sigma_n_local), -res)
-                res_full = r64(y + dy, deps_local, sigma_n_local)
-
-                def bt_cond(s):
-                    alpha, rn, _ = s
-                    return jnp.logical_and(rn >= norm_cur, alpha > 2**-10)
-
-                def bt_body(s):
-                    alpha, _, _ = s
-                    alpha = alpha * 0.5
-                    rt = r64(y + alpha * dy, deps_local, sigma_n_local)
-                    return (alpha, jnp.linalg.norm(rt), rt)
-
-                alpha, rn, res_new = jax.lax.while_loop(
-                    bt_cond, bt_body, (jnp.asarray(1.0, f64), jnp.linalg.norm(res_full), res_full)
-                )
+                res_j, j = rj64(y, deps_local, sigma_n_local, plastic)
+                dy = solve_small(j, -res)
+                ys = y[None, :] + alphas64[:, None] * dy[None, :]
+                res_c = jax.vmap(lambda yy: r64(yy, deps_local, sigma_n_local, plastic))(ys)
+                norms = jnp.sqrt(jnp.sum(res_c * res_c, axis=1))
+                improving = norms < norm_cur
+                idx = jnp.where(jnp.any(improving), jnp.argmax(improving), n_a64 - 1)
+                onehot = (jnp.arange(n_a64) == idx).astype(f64)
+                y_new = onehot @ ys
+                res_new = onehot @ res_c
+                rn = onehot @ norms
                 stalled = rn >= norm_cur * (1.0 - 1e-3)  # f64 floor crawl
-                return (rn, it + 1, stalled, (y + alpha * dy, res_new))
+                return (rn, it + 1, stalled, (y_new, res_new))
 
             norm_start = jnp.linalg.norm(res)
             norm_res, niter64, _, (y, _) = jax.lax.while_loop(
@@ -392,26 +338,22 @@ class MohrCoulombMaterial:
             dlambda = y[-1]
             return sig, (sig, niter + niter64, yielding, norm_res, dlambda)
 
-        # combined Jacobian over (y, deps) in ONE forward sweep (9 tangents,
-        # shared primal) for the implicit tangent
-        drdy_and_deps = jax.jacfwd(r64_, argnums=(0, 1))
-
         def tangent_stress_point(deps_local, sigma_n_local):
             """Consistent tangent via the implicit function theorem.
 
             TPU-first replacement for the reference's
             ``jacfwd(return_mapping, has_aux=True)`` (``:555``): the primal
-            while_loop converges y* with r(y*) = 0, then
-            dy*/deps = -j^{-1} dr/deps gives the EXACT consistent tangent at
-            the converged point with one extra 5x(4) solve — no AD through
-            the iteration (which on TPU compiles a far larger program and
-            carries O(iters) tangent temporaries)."""
+            while_loop converges y* with r(y*) = 0; since dr/ddeps = [[-C],
+            [0]] is constant, dy*/deps = J^{-1} [[C],[0]] gives the EXACT
+            consistent tangent with one extra 5x4 solve — no AD through the
+            iteration.  Elastic lanes (J = I) yield C_elas exactly."""
             sig, aux = return_mapping(deps_local, sigma_n_local)
             (_, niter, yielding, norm_res, dlambda) = aux
             plastic = yielding > 0.0
             y = jnp.concatenate([sig, jnp.array([dlambda])])
-            j, drde = drdy_and_deps(y, deps_local, sigma_n_local, plastic)
-            dy_ddeps = solve_small(j, -drde)
+            _, j = rj64(y, deps_local, sigma_n_local, plastic)
+            rhs = jnp.concatenate([C_elas, jnp.zeros((1, STRESS_DIM))], axis=0)
+            dy_ddeps = solve_small(j, rhs)
             C_tang = dy_ddeps[:STRESS_DIM, :]
             return C_tang, aux
 
