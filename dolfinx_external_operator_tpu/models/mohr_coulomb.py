@@ -196,7 +196,10 @@ class MohrCoulombMaterial:
                 # transcendental set); gradient comes with it and the
                 # Hessian columns are 4 linear (algebraic) tangent passes.
                 (_, dg), g_lin = jax.linearize(terms_g, sig)
-                Hg = jnp.stack([g_lin(I4[k])[1] for k in range(STRESS_DIM)], axis=1)
+                # tangent basis must carry sig's varying-axis type under
+                # shard_map; the constant-predicate where is folded by XLA
+                eye = jnp.where(jnp.zeros((), bool), sig[None, :], I4)
+                Hg = jnp.stack([g_lin(eye[k])[1] for k in range(STRESS_DIM)], axis=1)
                 ff, df = terms_f(sig)
                 dlp = jnp.where(plastic, dl, 0.0)
                 rg = sig - sigma_n_local - C @ (deps_local - dlp * dg)
