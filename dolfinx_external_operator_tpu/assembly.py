@@ -408,6 +408,10 @@ class CompiledForm:
         self._jit_vec = None
         self._jit_mat = None
         self._jit_scal = None
+        self._jit_elems = None
+        self._jit_act = None
+        self._jit_diag = None
+        self._bcoo_rowcols = None
 
     # runtime inputs
     def _inputs(self):
@@ -462,6 +466,107 @@ class CompiledForm:
             return out
 
         return jax.jit(fn)
+
+    # -- scalable rank-2 paths: never materialize the dense (n, m) matrix --
+    #
+    # The reference solves every demo through PETSc *sparse* matrices + LU
+    # (``petsc/petsc.py:64-68``, MUMPS options
+    # ``demo_plasticity_von_mises.py:422-431``).  The TPU-native equivalents
+    # are (a) element-by-element matrix-free action — element tensors stay
+    # in HBM in their natural (nc, nt, nu) blocked layout, the global matrix
+    # is never formed — feeding Krylov solves, and (b) BCOO sparse assembly
+    # for callers that want an explicit sparse operator.
+
+    def _build_elems(self):
+        plans = [(k, self._dispatch(k)) for k in self.kernels]
+
+        def fn(statics, coeffs, consts):
+            out = []
+            for (k, (fidx, cidx)), ks in zip(plans, statics):
+                for (b, _), s in zip(k.batches, ks):
+                    elem, _, _ = b(s, [coeffs[i] for i in fidx], [consts[i] for i in cidx])
+                    out.append(elem)
+            return out
+
+        return jax.jit(fn)
+
+    def element_tensors(self):
+        """Per-batch element tensors + their dof maps, without forming the
+        global matrix: ``[(elem (nc, nt, nu), tdofs (nc, nt), udofs (nc, nu))]``."""
+        if self._jit_elems is None:
+            self._jit_elems = self._build_elems()
+        c, k = self._inputs()
+        elems = self._jit_elems(self._statics(), c, k)
+        dofs = [(s["test_dofs"], s["trial_dofs"])
+                for kern in self.kernels for (_, s) in kern.batches]
+        return [(e, td, ud) for e, (td, ud) in zip(elems, dofs)]
+
+    def _build_action(self):
+        plans = [(k, self._dispatch(k)) for k in self.kernels]
+        n = self.test_space.num_dofs
+
+        def fn(statics, coeffs, consts, x):
+            out = jnp.zeros((n,), _F)
+            for (k, (fidx, cidx)), ks in zip(plans, statics):
+                for (b, _), s in zip(k.batches, ks):
+                    elem, tdofs, udofs = b(s, [coeffs[i] for i in fidx], [consts[i] for i in cidx])
+                    y = jnp.einsum("cij,cj->ci", elem, x[udofs])
+                    out = out + jax.ops.segment_sum(y.ravel(), tdofs.ravel(), num_segments=n)
+            return out
+
+        return jax.jit(fn)
+
+    def action(self, x):
+        """Matrix-free operator action ``A @ x`` of a rank-2 form: element
+        tensors are contracted with the gathered ``x`` and scattered, fused
+        in one jitted program — no global matrix."""
+        if self._jit_act is None:
+            self._jit_act = self._build_action()
+        c, k = self._inputs()
+        return self._jit_act(self._statics(), c, k, jnp.asarray(x, _F))
+
+    def matrix_bcoo(self):
+        """Assembled sparse (BCOO) global matrix with summed duplicates —
+        the analog of the reference's PETSc AIJ matrices."""
+        from jax.experimental import sparse as jsparse
+
+        elems = self.element_tensors()
+        n, m = self.test_space.num_dofs, self.trial_space.num_dofs
+        data = jnp.concatenate([e.ravel() for e, _, _ in elems])
+        if self._bcoo_rowcols is None:
+            rows, cols = [], []
+            for e, td, ud in elems:
+                nc, nt, nu = e.shape
+                rows.append(jnp.broadcast_to(td[:, :, None], (nc, nt, nu)).ravel())
+                cols.append(jnp.broadcast_to(ud[:, None, :], (nc, nt, nu)).ravel())
+            self._bcoo_rowcols = jnp.stack(
+                [jnp.concatenate(rows), jnp.concatenate(cols)], axis=1)
+        A = jsparse.BCOO((data, self._bcoo_rowcols), shape=(n, m))
+        return A.sum_duplicates()
+
+    def _build_diag(self):
+        plans = [(k, self._dispatch(k)) for k in self.kernels]
+        n = self.test_space.num_dofs
+
+        def fn(statics, coeffs, consts):
+            out = jnp.zeros((n,), _F)
+            for (k, (fidx, cidx)), ks in zip(plans, statics):
+                for (b, _), s in zip(k.batches, ks):
+                    elem, tdofs, udofs = b(s, [coeffs[i] for i in fidx], [consts[i] for i in cidx])
+                    hit = (tdofs[:, :, None] == udofs[:, None, :]).astype(elem.dtype)
+                    contrib = (elem * hit).sum(axis=2)
+                    out = out + jax.ops.segment_sum(contrib.ravel(), tdofs.ravel(), num_segments=n)
+            return out
+
+        return jax.jit(fn)
+
+    def diagonal(self):
+        """Global matrix diagonal (for Jacobi preconditioning) without
+        forming the matrix."""
+        if self._jit_diag is None:
+            self._jit_diag = self._build_diag()
+        c, k = self._inputs()
+        return self._jit_diag(self._statics(), c, k)
 
     def scalar(self):
         if self._jit_scal is None:

@@ -83,22 +83,85 @@ def cg(matvec, b, x0=None, M=None, tol=1e-12, atol=0.0, maxiter=None):
     target = jnp.maximum(tol * bnorm, atol)
 
     def cond(state):
-        x, r, z, p, rz, k = state
-        return jnp.logical_and(jnp.linalg.norm(r) > target, k < maxiter)
+        x, r, z, p, rz, k, ok = state
+        return ok & (jnp.linalg.norm(r) > target) & (k < maxiter)
 
     def body(state):
-        x, r, z, p, rz, k = state
+        x, r, z, p, rz, k, ok = state
         Ap = matvec(p)
-        alpha = rz / jnp.vdot(p, Ap)
+        pAp = jnp.vdot(p, Ap)
+        # breakdown guard: exit at the floating-point floor instead of NaN
+        ok = jnp.isfinite(pAp) & (pAp > 0.0) & jnp.isfinite(rz) & (rz > 0.0)
+        alpha = jnp.where(ok, rz / jnp.where(pAp > 0.0, pAp, 1.0), 0.0)
         x = x + alpha * p
         r = r - alpha * Ap
         z = M(r)
         rz_new = jnp.vdot(r, z)
-        beta = rz_new / rz
+        beta = jnp.where(rz > 0.0, rz_new / jnp.where(rz > 0.0, rz, 1.0), 0.0)
         p = z + beta * p
-        return (x, r, z, p, rz_new, k + 1)
+        return (x, r, z, p, rz_new, k + 1, ok)
 
-    x, r, z, p, rz, k = jax.lax.while_loop(cond, body, (x, r, z, p, rz, 0))
+    state = (x, r, z, p, rz, 0, jnp.asarray(True))
+    x, r, z, p, rz, k, ok = jax.lax.while_loop(cond, body, state)
+    return x, k
+
+
+# ----------------------------------------------------------------------
+# Element-by-element (EBE) Krylov solve: the large-dof path.
+#
+# The reference's PETSc sparse LU has no f64 TPU analog; the scalable
+# TPU-native equivalent keeps the element tensors blocked in HBM (the
+# natural output of assembly) and runs Jacobi-preconditioned CG whose
+# matvec is gather -> batched (nc, nt, nu) einsum (MXU) -> segment_sum.
+# BC elimination is folded into the operator: rows/cols zeroed, identity
+# on constrained dofs.
+# ----------------------------------------------------------------------
+
+@jax.jit
+def _ebe_pcg(elems, tdofs_l, udofs_l, mask, diag, b, rtol, atol, maxiter):
+    n = b.shape[0]
+    free = ~mask
+
+    def matvec(x):
+        xz = jnp.where(free, x, 0.0)
+        out = jnp.zeros((n,), _F64)
+        for e, td, ud in zip(elems, tdofs_l, udofs_l):
+            y = jnp.einsum("cij,cj->ci", e, xz[ud])
+            out = out + jax.ops.segment_sum(y.ravel(), td.ravel(), num_segments=n)
+        return jnp.where(free, out, 0.0) + jnp.where(mask, x, 0.0)
+
+    dsafe = jnp.where(jnp.abs(diag) > 1e-300, diag, 1.0)
+    M = lambda r: r / dsafe
+    target = jnp.maximum(rtol * jnp.linalg.norm(b), atol)
+    x = jnp.zeros_like(b)
+    r = b - matvec(x)
+    z = M(r)
+    p = z
+    rz = jnp.vdot(r, z)
+
+    # `ok` is the breakdown guard: once rounding makes the SPD invariants
+    # (rz > 0, p.Ap > 0) fail — CG has hit its floating-point floor — exit
+    # with the best iterate instead of dividing toward NaN.  Matters on TPU,
+    # whose emulated-f64 reduction floor sits above the host's.
+    def cond(state):
+        x, r, z, p, rz, k, ok = state
+        return ok & (jnp.linalg.norm(r) > target) & (k < maxiter)
+
+    def body(state):
+        x, r, z, p, rz, k, ok = state
+        Ap = matvec(p)
+        pAp = jnp.vdot(p, Ap)
+        ok = jnp.isfinite(pAp) & (pAp > 0.0) & jnp.isfinite(rz) & (rz > 0.0)
+        alpha = jnp.where(ok, rz / jnp.where(pAp > 0.0, pAp, 1.0), 0.0)
+        x = x + alpha * p
+        r = r - alpha * Ap
+        z = M(r)
+        rz_new = jnp.vdot(r, z)
+        beta = jnp.where(rz > 0.0, rz_new / jnp.where(rz > 0.0, rz, 1.0), 0.0)
+        return (x, r, z, p * beta + z, rz_new, k + 1, ok)
+
+    state = (x, r, z, p, rz, 0, jnp.asarray(True))
+    x, r, z, p, rz, k, ok = jax.lax.while_loop(cond, body, state)
     return x, k
 
 
@@ -120,32 +183,60 @@ class NewtonSolver:
          full step (``snes_linesearch_type: basic``).
     """
 
-    def __init__(self, atol=1e-8, rtol=1e-8, max_it=100, monitor=False):
+    def __init__(self, atol=1e-8, rtol=1e-8, max_it=100, monitor=False,
+                 ksp_type="preonly", ksp_rtol=1e-12, ksp_atol=0.0, ksp_max_it=None):
         self.atol = atol
         self.rtol = rtol
         self.max_it = max_it
         self.monitor = monitor
+        self.ksp_type = ksp_type  # "preonly"/"lu" -> dense direct; "cg" -> EBE Jacobi-PCG
+        self.ksp_rtol = ksp_rtol
+        self.ksp_atol = ksp_atol
+        self.ksp_max_it = ksp_max_it
         self.iterations = 0
+        self.ksp_iterations = 0
 
     def solve(self, problem) -> tuple[int, bool]:
         u = problem.u
         n = u.function_space.num_dofs
         mask, g = bc_arrays(problem.bcs, n)
+        matrix_free = self.ksp_type == "cg"
 
         def residual():
+            """BC-adjusted residual WITHOUT assembling the Jacobian: the
+            lifting term ``A @ (g - x)`` goes through the matrix-free
+            ``CompiledForm.action`` and is skipped entirely once the BC dofs
+            sit exactly on their values (every iterate after the first)."""
             if problem.external_callback is not None:
                 problem.external_callback(*problem.callback_args)
             r = problem.F.vector()
-            A = problem.J.matrix()
             x = u.data
             dx_bc = jnp.where(mask, g - x, 0.0)
-            r_lifted = r + A @ dx_bc  # lifting: what the free rows feel
-            r_t = jnp.where(mask, x - g, r_lifted)
+            if bool(jnp.any(dx_bc != 0.0)):
+                r = r + problem.J.action(dx_bc)
+            return jnp.where(mask, x - g, r)
+
+        def newton_step(r):
+            """delta solving  J_elim @ delta = -r  (BC rows/cols eliminated)."""
+            if matrix_free:
+                elems = problem.J.element_tensors()
+                diag = jnp.where(mask, 1.0, problem.J.diagonal())
+                # PETSc KSP default maxits parity (10000); the breakdown
+                # guard in _ebe_pcg exits earlier at the rounding floor
+                maxiter = self.ksp_max_it if self.ksp_max_it is not None else min(10 * n, 10000)
+                delta, k = _ebe_pcg(
+                    tuple(e for e, _, _ in elems),
+                    tuple(td for _, td, _ in elems),
+                    tuple(ud for _, _, ud in elems),
+                    mask, diag, -r, self.ksp_rtol, self.ksp_atol, maxiter)
+                self.ksp_iterations += int(k)
+                return delta
+            A = problem.J.matrix()
             keep = (~mask).astype(A.dtype)
             A_t = A * keep[:, None] * keep[None, :] + jnp.diag(mask.astype(A.dtype))
-            return r_t, A_t
+            return solve_dense(A_t, -r)
 
-        r, A = residual()
+        r = residual()
         norm0 = float(jnp.linalg.norm(r))
         norm = norm0
         it = 0
@@ -153,10 +244,10 @@ class NewtonSolver:
             print(f"  0 SNES Function norm {norm0:.12e}")
         converged = norm0 < self.atol
         while not converged and it < self.max_it:
-            delta = solve_dense(A, -r)
+            delta = newton_step(r)
             u._data = u._data + delta
             it += 1
-            r, A = residual()
+            r = residual()
             new_norm = float(jnp.linalg.norm(r))
             # divergence-only backtracking: full steps on nominal paths (the
             # reference's "basic" line search), halved steps only when the
@@ -165,7 +256,7 @@ class NewtonSolver:
             while new_norm > 2.0 * norm and alpha > 2**-8:
                 u._data = u._data - alpha * 0.5 * delta  # retract to alpha/2
                 alpha *= 0.5
-                r, A = residual()
+                r = residual()
                 new_norm = float(jnp.linalg.norm(r))
             norm = new_norm
             if self.monitor:
@@ -195,6 +286,10 @@ class NonlinearProblem:
             rtol=float(opts.get("snes_rtol", 1e-8)),
             max_it=int(opts.get("snes_max_it", 100)),
             monitor="snes_monitor" in opts,
+            ksp_type=str(opts.get("ksp_type", "preonly")),
+            ksp_rtol=float(opts.get("ksp_rtol", 1e-12)),
+            ksp_atol=float(opts.get("ksp_atol", 0.0)),
+            ksp_max_it=(int(opts["ksp_max_it"]) if "ksp_max_it" in opts else None),
         )
         self.external_callback = external_callback
         self.callback_args = tuple(callback_args)

@@ -1,0 +1,135 @@
+"""Scalable linear algebra: EBE matrix-free action, BCOO assembly, and the
+Newton-Krylov general solve path.
+
+The reference solves through PETSc sparse AIJ matrices + LU/MUMPS
+(``petsc/petsc.py:64-68``, ``demo_plasticity_von_mises.py:422-431``); the
+TPU-native equivalents are element-by-element matrix-free Krylov and BCOO
+sparse assembly, verified here against the dense oracle, plus a large-mesh
+(300x300, ~90k dofs) nonlinear solve through the *general* pipeline that the
+dense path cannot touch.
+"""
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+import dolfinx_external_operator_tpu as fem
+from dolfinx_external_operator_tpu import (
+    FEMExternalOperator,
+    evaluate_external_operators,
+    evaluate_operands,
+    replace_external_operators,
+    solvers,
+)
+
+A_, B_ = 1.0, 1.0
+
+
+def _heat_problem(n, ksp_type="preonly", atol=1e-10):
+    mesh = fem.create_unit_square(n, n)
+    V = fem.functionspace(mesh, ("Lagrange", 1))
+    T = fem.Function(V)
+    T.interpolate(lambda X: 0.0 * X[0] + 0.01)
+    Q = fem.functionspace(mesh, fem.quadrature_element(mesh.cell_name(), degree=2))
+    dx = fem.Measure("dx", metadata={"quadrature_scheme": "default", "quadrature_degree": 2})
+    k_ext = FEMExternalOperator(T, function_space=Q)
+
+    def k_pt(t):
+        return 1.0 / (A_ + B_ * t)
+
+    k_vec = jax.jit(jax.vmap(jax.vmap(k_pt)))
+    dk_vec = jax.jit(jax.vmap(jax.vmap(jax.jacfwd(k_pt))))
+    k_ext.external_function = lambda d: {(0,): lambda t: k_vec(t).reshape(-1),
+                                         (1,): lambda t: dk_vec(t).reshape(-1)}[d]
+    T_tilde, T_hat = fem.TestFunction(V), fem.TrialFunction(V)
+    x = fem.SpatialCoordinate(mesh)
+    F = fem.inner(k_ext * fem.grad(T), fem.grad(T_tilde)) * dx - (2.0 * x[0] + x[1]) * T_tilde * dx
+    J = fem.derivative(F, T, T_hat)
+    F_r, F_ops = replace_external_operators(F)
+    J_r, J_ops = replace_external_operators(J)
+    bdofs = fem.locate_dofs_geometrical(
+        V, lambda X: np.isclose(X[0], 0) | np.isclose(X[0], 1) | np.isclose(X[1], 0) | np.isclose(X[1], 1))
+    bc = fem.DirichletBC(bdofs, np.zeros(len(bdofs)))
+
+    def callback():
+        ops = evaluate_operands(F_ops)
+        evaluate_external_operators(F_ops, ops)
+        evaluate_external_operators(J_ops, ops)
+
+    prob = solvers.NonlinearProblem(
+        F_r, T, J_r, bcs=[bc],
+        petsc_options={"snes_atol": atol, "snes_rtol": atol, "ksp_type": ksp_type},
+        external_callback=callback)
+    return prob, T, J_r
+
+
+def test_action_bcoo_diagonal_match_dense():
+    prob, T, J_r = _heat_problem(7)
+    prob.external_callback()
+    Jc = prob.J
+    A = np.asarray(Jc.matrix())
+    n = A.shape[0]
+    rng = np.random.default_rng(3)
+    x = rng.normal(size=n)
+    np.testing.assert_allclose(np.asarray(Jc.action(x)), A @ x, rtol=0, atol=1e-12)
+    np.testing.assert_allclose(np.asarray(Jc.diagonal()), np.diag(A), rtol=0, atol=1e-13)
+    Ab = Jc.matrix_bcoo()
+    np.testing.assert_allclose(np.asarray(Ab.todense()), A, rtol=0, atol=1e-13)
+    np.testing.assert_allclose(np.asarray(Ab @ jnp.asarray(x)), A @ x, rtol=0, atol=1e-12)
+
+
+def test_newton_krylov_matches_direct():
+    """CG path reproduces the direct path: identical Newton counts (the
+    BASELINE target) and matching solutions."""
+    prob_d, T_d, _ = _heat_problem(9, "preonly")
+    its_d, conv_d = prob_d.solve()
+    sol_d = np.asarray(T_d.data).copy()
+
+    prob_c, T_c, _ = _heat_problem(9, "cg")
+    its_c, conv_c = prob_c.solve()
+    sol_c = np.asarray(T_c.data)
+
+    assert conv_d and conv_c
+    assert its_d == its_c
+    assert prob_c.solver.ksp_iterations > 0
+    np.testing.assert_allclose(sol_c, sol_d, rtol=0, atol=1e-9)
+
+
+def test_nonzero_bc_lifting_through_krylov():
+    """Nonzero Dirichlet data exercises the matrix-free lifting
+    (``J.action(g - x)``) inside the residual."""
+    mesh = fem.create_unit_square(8, 8)
+    V = fem.functionspace(mesh, ("Lagrange", 1))
+    T = fem.Function(V)
+    T_tilde, T_hat = fem.TestFunction(V), fem.TrialFunction(V)
+    dx = fem.Measure("dx", metadata={"quadrature_scheme": "default", "quadrature_degree": 2})
+    F = fem.inner(fem.grad(T), fem.grad(T_tilde)) * dx
+    J = fem.derivative(F, T, T_hat)
+    left = fem.locate_dofs_geometrical(V, lambda X: np.isclose(X[0], 0))
+    right = fem.locate_dofs_geometrical(V, lambda X: np.isclose(X[0], 1))
+    bcs = [fem.DirichletBC(left, np.zeros(len(left))),
+           fem.DirichletBC(right, np.ones(len(right)))]
+    prob = solvers.NonlinearProblem(F, T, J, bcs=bcs,
+                                    petsc_options={"ksp_type": "cg"})
+    its, conv = prob.solve()
+    assert conv
+    # Laplace with u(0)=0, u(1)=1 -> u = x
+    coords = fem.assembly._dof_coordinates(V)
+    np.testing.assert_allclose(np.asarray(T.data), coords[:, 0], rtol=0, atol=1e-8)
+
+
+@pytest.mark.slow
+def test_heat_300x300_general_path():
+    """~90k dofs through the general external-operator pipeline with
+    Newton-Krylov — infeasible for the dense path (VERDICT item 3)."""
+    import time
+
+    t0 = time.perf_counter()
+    prob, T, _ = _heat_problem(300, "cg", atol=1e-8)
+    its, conv = prob.solve()
+    wall = time.perf_counter() - t0
+    assert conv and its <= 8
+    arr = np.asarray(T.data)
+    assert np.isfinite(arr).all() and arr.max() > 0.01
+    print(f"300x300 general-path heat: its={its} ksp={prob.solver.ksp_iterations} wall={wall:.1f}s")
