@@ -23,6 +23,13 @@ import jax as _jax
 # supported for every op we lower to (LU is avoided; see solvers.py).
 _jax.config.update("jax_enable_x64", True)
 
+# Persistent XLA compilation cache: cold compiles of the while-loop-heavy
+# plasticity programs take minutes through the remote TPU compile helper;
+# cache hits take seconds (utils/compile_cache.py).
+from .utils.compile_cache import enable_persistent_cache as _epc  # noqa: E402
+
+_epc()
+
 from . import sym  # noqa: E402
 from .assembly import (  # noqa: E402
     DirichletBC,

@@ -674,20 +674,25 @@ def locate_dofs_topological(V, dim, entities) -> np.ndarray:
     mesh = V.mesh
     entities = np.asarray(entities, dtype=np.int32)
     counts = V.element.entity_counts
+    offs = getattr(V, "_entity_offsets", {"vertex": 0, "edge": mesh.num_vertices})
     sdofs = set()
     fverts = mesh.facets[entities]
     if counts["vertex"]:
         sdofs.update(np.unique(fverts).tolist())
-    if counts["edge"]:
+    ne = counts["edge"]
+    if ne:
         edge_lookup = {tuple(e): i for i, e in enumerate(np.sort(mesh.edges, axis=1).tolist())}
-        nv = mesh.num_vertices
+        base = offs["edge"]
         for fv in fverts:
             vs = sorted(fv.tolist())
             for a in range(len(vs)):
                 for b in range(a + 1, len(vs)):
                     e = edge_lookup.get((vs[a], vs[b]))
                     if e is not None:
-                        sdofs.add(nv + e)
+                        sdofs.update(range(base + e * ne, base + (e + 1) * ne))
+    if counts.get("face", 0):
+        base = offs["face"]
+        sdofs.update((base + entities.astype(np.int64)).tolist())
     sdofs = np.array(sorted(sdofs), dtype=np.int64)
     if comp is None:
         return sdofs

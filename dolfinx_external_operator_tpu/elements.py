@@ -20,7 +20,7 @@ from functools import lru_cache
 
 import numpy as np
 
-from .mesh import CELL_EDGES, CELL_TDIM, REFERENCE_VERTICES
+from .mesh import CELL_EDGES, CELL_FACETS, CELL_TDIM, REFERENCE_VERTICES
 from .quadrature import make_quadrature
 
 __all__ = ["Element", "element", "quadrature_element", "mixed_element", "MixedElement"]
@@ -78,36 +78,81 @@ def _eval_monomials(exps: np.ndarray, pts: np.ndarray):
 
 
 def _lagrange_nodes(cell_type: str, degree: int):
-    """Node coordinates + entity dof layout for Lagrange elements.
+    """Node coordinates + entity dof layout for degree-n Lagrange elements
+    (equispaced nodes — the same polynomial space as Basix's default
+    variants, which is all assembly parity requires).
 
-    Returns (nodes (nb, tdim), entity_counts dict with per-vertex/edge/cell
-    scalar-dof counts).  Node order: vertices, then edges (CELL_EDGES order),
-    then interior.
+    Returns (nodes (nb, tdim), entity_counts with per-vertex/edge/face/cell
+    scalar-dof counts).  Node order: vertices (REFERENCE_VERTICES order),
+    then per edge (CELL_EDGES order) the n-1 interior points directed from
+    local vertex a to b, then per facet (CELL_FACETS order, 3D only) the
+    face-interior points, then cell-interior points.
+
+    The reference gets arbitrary-degree elements from Basix; its mixed-space
+    oracle uses P4 (``test_external_operators_evaluation.py:230-306``).
     """
     verts = REFERENCE_VERTICES[cell_type]
-    if degree == 0:
+    tdim = CELL_TDIM[cell_type]
+    n = int(degree)
+    if n == 0:
         # piecewise constant: one node at the cell midpoint (DG0)
-        return verts.mean(axis=0, keepdims=True), {"vertex": 0, "edge": 0, "cell": 1}
-    if degree == 1:
-        return verts.copy(), {"vertex": 1, "edge": 0, "cell": 0}
-    if degree == 2:
-        nodes = [verts]
-        edges = CELL_EDGES[cell_type]
-        if edges:
-            mids = np.array([(verts[a] + verts[b]) / 2.0 for a, b in edges])
-            nodes.append(mids)
-        interior = []
-        if cell_type == "interval":
-            interior = [[0.5]]
-        elif cell_type == "quadrilateral":
-            interior = [[0.5, 0.5]]
-        elif cell_type == "hexahedron":
-            raise NotImplementedError("Q2 hexahedron (needs face dofs) not yet implemented")
-        n_int = len(interior)
-        if interior:
-            nodes.append(np.asarray(interior, dtype=float))
-        return np.concatenate(nodes, axis=0), {"vertex": 1, "edge": 1 if edges else 0, "cell": n_int if cell_type != "interval" else 1}
-    raise NotImplementedError(f"Lagrange degree {degree} on {cell_type}")
+        return verts.mean(axis=0, keepdims=True), {"vertex": 0, "edge": 0, "face": 0, "cell": 1}
+    counts = {"vertex": 1, "edge": 0, "face": 0, "cell": 0}
+    nodes = [verts.copy()]
+    simplex = cell_type in ("interval", "triangle", "tetrahedron")
+
+    edges = CELL_EDGES[cell_type]
+    if n >= 2 and edges:
+        t = (np.arange(1, n) / n)[:, None]  # (n-1, 1)
+        for a, b in edges:
+            nodes.append(verts[a][None, :] * (1.0 - t) + verts[b][None, :] * t)
+        counts["edge"] = n - 1
+
+    if tdim == 3 and n >= 2:
+        if simplex:
+            ij = [(i, j) for i in range(1, n) for j in range(1, n - i)]
+        else:
+            ij = [(i, j) for i in range(1, n) for j in range(1, n)]
+        counts["face"] = len(ij)
+        if counts["face"] > 1:
+            # >1 face dof needs orientation permutations between the two
+            # incident cells (tet degree >= 4, hex degree >= 3)
+            raise NotImplementedError(
+                f"3D Lagrange degree {n} on {cell_type}: {counts['face']} dofs per "
+                "face require face-orientation permutations (supported: tet <= 3, hex <= 2)"
+            )
+        for f in CELL_FACETS[cell_type]:
+            fv = verts[list(f)]
+            # both face types use the (v0; v1-v0, v2-v0) local frame
+            # (DOLFINx tensor vertex order for quadrilateral faces)
+            pts = np.array([fv[0] + (fv[1] - fv[0]) * (i / n) + (fv[2] - fv[0]) * (j / n)
+                            for i, j in ij], dtype=float).reshape(len(ij), tdim)
+            nodes.append(pts)
+
+    # cell-interior nodes
+    interior = []
+    if tdim == 1:
+        interior = [[i / n] for i in range(1, n)]
+    elif tdim == 2:
+        if simplex:
+            interior = [[i / n, j / n] for i in range(1, n) for j in range(1, n - i)]
+        else:
+            interior = [[i / n, j / n] for i in range(1, n) for j in range(1, n)]
+    else:
+        if simplex:
+            interior = [
+                [i / n, j / n, k / n]
+                for i in range(1, n) for j in range(1, n - i) for k in range(1, n - i - j)
+            ]
+        else:
+            interior = [
+                [i / n, j / n, k / n]
+                for i in range(1, n) for j in range(1, n) for k in range(1, n)
+            ]
+    counts["cell"] = len(interior)
+    if interior:
+        nodes.append(np.asarray(interior, dtype=float))
+    return np.concatenate(nodes, axis=0), counts
 
 
 class Element:
@@ -131,7 +176,7 @@ class Element:
             nodes, counts = _lagrange_nodes(cell_type, self.degree)
             self._nodes = nodes
             if self.family == "DG":
-                counts = {"vertex": 0, "edge": 0, "cell": nodes.shape[0]}
+                counts = {"vertex": 0, "edge": 0, "face": 0, "cell": nodes.shape[0]}
             self.entity_counts = counts
             exps = _monomials(cell_type, self.degree)
             V, _ = _eval_monomials(exps, nodes)
@@ -142,7 +187,7 @@ class Element:
             pts, wts = make_quadrature(cell_type, self.degree)
             self._nodes = pts
             self.quad_weights = wts
-            self.entity_counts = {"vertex": 0, "edge": 0, "cell": pts.shape[0]}
+            self.entity_counts = {"vertex": 0, "edge": 0, "face": 0, "cell": pts.shape[0]}
             self._exps = None
             self._coeffs = None
         else:

@@ -89,21 +89,49 @@ class FunctionSpace:
 
     # -- dofmap ---------------------------------------------------------
     def _build_dofmap(self):
+        """Scalar dofmap over mesh entities (vertex / edge / face / interior).
+
+        Edge dofs are orientation-corrected: global edge dofs are ordered
+        from the lower to the higher global vertex id, so the (n-1) interior
+        Lagrange nodes of a shared edge receive the SAME global dof from
+        both incident cells (the role of DOLFINx's dof permutations)."""
+        from .mesh import CELL_EDGES
+
         mesh, el = self.mesh, self.element
         counts = el.entity_counts
-        nv_per_cell = mesh.cells.shape[1]
         parts = []
         offset = 0
+        self._entity_offsets = {}
         if counts["vertex"] > 0:
             assert counts["vertex"] == 1
+            self._entity_offsets["vertex"] = 0
             parts.append(mesh.cells.astype(np.int64))
             offset += mesh.num_vertices
-        if counts["edge"] > 0:
-            assert counts["edge"] == 1
-            parts.append(offset + mesh.cell_edges.astype(np.int64))
-            offset += mesh.num_edges
+        ne = counts["edge"]
+        if ne > 0:
+            self._entity_offsets["edge"] = offset
+            ce = mesh.cell_edges.astype(np.int64)  # (ncells, n_local_edges)
+            local_edges = np.asarray(CELL_EDGES[mesh.cell_type], dtype=np.int64)
+            a, b = local_edges[:, 0], local_edges[:, 1]
+            # element edge-node j runs local-vertex a -> b; global dof j runs
+            # lower -> higher global vertex id
+            aligned = mesh.cells[:, a] < mesh.cells[:, b]  # (ncells, nle)
+            j = np.arange(ne, dtype=np.int64)
+            jj = np.where(aligned[:, :, None], j[None, None, :], ne - 1 - j[None, None, :])
+            ed = offset + ce[:, :, None] * ne + jj
+            parts.append(ed.reshape(mesh.num_cells, -1))
+            offset += mesh.num_edges * ne
+        nf = counts.get("face", 0)
+        if nf > 0:
+            # single face dof (tet P3 / hex Q2): orientation-free
+            assert nf == 1, "multi-dof faces need orientation permutations"
+            self._entity_offsets["face"] = offset
+            cf = mesh.cell_facets.astype(np.int64)  # (ncells, n_local_facets)
+            parts.append(offset + cf)
+            offset += mesh.num_facets
         if counts["cell"] > 0:
             nc = counts["cell"]
+            self._entity_offsets["cell"] = offset
             cell_dofs = offset + (np.arange(mesh.num_cells, dtype=np.int64)[:, None] * nc + np.arange(nc)[None, :])
             parts.append(cell_dofs)
             offset += mesh.num_cells * nc

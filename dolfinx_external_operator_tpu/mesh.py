@@ -252,6 +252,14 @@ class Mesh:
         return self._facets["cells"]
 
     @property
+    def cell_facets(self) -> np.ndarray:
+        """(n_cells, n_local_facets) global facet index per local facet
+        (for face-attached dofs, e.g. Q2 hexahedra)."""
+        if self._facets is None:
+            self._build_facets()
+        return self._facets["cell_facets"]
+
+    @property
     def facet_local_index(self) -> np.ndarray:
         if self._facets is None:
             self._build_facets()

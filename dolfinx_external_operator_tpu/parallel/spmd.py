@@ -220,7 +220,9 @@ class FusedPlasticityStep:
         def apply_bc_res(st, r, Du):
             return jnp.where(st["bc_mask"], Du - st["bc_vals"], r)
 
-        def cg_solve(st, C_tang, b, psum):
+        def cg_solve(st, C_tang, b, psum, maxiter=None):
+            if maxiter is None:
+                maxiter = cg_maxiter
             mask = st["bc_mask"]
             diag = tangent_diag(st, C_tang, psum)
             diag = jnp.where(mask, 1.0, diag)
@@ -240,7 +242,7 @@ class FusedPlasticityStep:
 
             def cond(sta):
                 x, r, z, p, rz, k = sta
-                return jnp.logical_and(jnp.sqrt(jnp.vdot(r, r)) > target, k < cg_maxiter)
+                return jnp.logical_and(jnp.sqrt(jnp.vdot(r, r)) > target, k < maxiter)
 
             def body(sta):
                 x, r, z, p, rz, k = sta
@@ -285,37 +287,44 @@ class FusedPlasticityStep:
             return y * d, jnp.asarray(0)
 
         def one_step_core(st, Du, sigma_n, load, psum):
-            """Full Newton solve of one load step; returns converged state."""
+            """Full Newton solve of one load step; returns converged state.
 
-            def newton_residual(Du):
+            Do-while structure: the constitutive kernel + residual appear
+            exactly ONCE in the program (inside the loop body) instead of
+            twice (initial residual + body) — the kernel is by far the
+            largest HLO block, and halving its instantiation count nearly
+            halves the multi-minute TPU compile of this program.  The body
+            evaluates the residual at the CURRENT iterate first; if it
+            already satisfies the convergence test, the update is masked out
+            (and the solve skipped where possible), so iteration counts and
+            iterates are identical to the classic check-then-solve loop."""
+            nan = jnp.asarray(jnp.nan, _F)
+
+            def cond(state):
+                Du, sigma, norm, norm0, it, cg_tot, done = state
+                return jnp.logical_and(jnp.logical_not(done), it <= max_it)
+
+            def body(state):
+                Du, sigma, norm, norm0, it, cg_tot, done = state
                 C_tang, sigma = constitutive(st, Du, sigma_n, psum)
                 r = residual(st, sigma, load, psum)
                 r = apply_bc_res(st, r, Du)
-                return r, C_tang, sigma
-
-            r0, C0, sig0 = newton_residual(Du)
-            norm0 = jnp.sqrt(jnp.vdot(r0, r0))
-
-            def cond(state):
-                Du, r, C_tang, sigma, norm, it, cg_tot = state
-                return jnp.logical_and(
-                    jnp.logical_and(norm >= atol, norm >= rtol * norm0),
-                    it < max_it,
-                )
-
-            def body(state):
-                Du, r, C_tang, sigma, norm, it, cg_tot = state
+                norm = jnp.sqrt(jnp.vdot(r, r))
+                norm0 = jnp.where(jnp.isnan(norm0), norm, norm0)
+                conv = jnp.logical_or(norm < atol, norm < rtol * norm0)
                 if use_dense:
                     dx, cg_k = dense_solve(st, C_tang, -r, psum)
                 else:
-                    dx, cg_k = cg_solve(st, C_tang, -r, psum)
-                Du = Du + dx
-                r, C_tang, sigma = newton_residual(Du)
-                return (Du, r, C_tang, sigma, jnp.sqrt(jnp.vdot(r, r)), it + 1, cg_tot + cg_k)
+                    # masked maxiter: a converged iterate runs 0 CG iterations
+                    dx, cg_k = cg_solve(st, C_tang, -r, psum,
+                                        maxiter=jnp.where(conv, 0, cg_maxiter))
+                Du = jnp.where(conv, Du, Du + dx)
+                it = it + jnp.where(conv, 0, 1)
+                return (Du, sigma, norm, norm0, it, cg_tot + jnp.where(conv, 0, cg_k), conv)
 
-            Du, r, C_tang, sigma, norm, it, cg_tot = jax.lax.while_loop(
-                cond, body, (Du, r0, C0, sig0, norm0, 0, 0)
-            )
+            zero = jnp.asarray(0)
+            state = (Du, jnp.zeros_like(sigma_n), nan, nan, zero, zero, jnp.asarray(False))
+            Du, sigma, norm, norm0, it, cg_tot, done = jax.lax.while_loop(cond, body, state)
             return Du, sigma, norm, it, cg_tot
 
         if dm is None:

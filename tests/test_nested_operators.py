@@ -53,11 +53,11 @@ def _u_NN(mod, gdim, x, theta):
     return mod.sin(theta[0] * x[0]) * mod.sin(theta[1] * x[1])
 
 
-@pytest.mark.parametrize("q_deg", [1, 4])
+@pytest.mark.parametrize("q_deg", [1, 4, 8])
 @pytest.mark.parametrize(
     "cell_type,n",
-    [("interval", 8), ("triangle", 4), ("triangle", 8), ("quadrilateral", 4),
-     ("tetrahedron", 3), ("hexahedron", 3)],
+    [("interval", 8), ("triangle", 2), ("triangle", 4), ("triangle", 8),
+     ("quadrilateral", 4), ("tetrahedron", 3), ("hexahedron", 3)],
 )
 def test_nested_replacement_operator(cell_type, n, q_deg):
     mesh = _mesh(cell_type, n)

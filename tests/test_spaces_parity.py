@@ -140,10 +140,11 @@ def test_mixed_element_space_scalar_subspaces():
 
 
 def test_mixed_element_space_vector_subspace():
-    """Mixed P4-scalar x P2-vector output space (3D padded write-back,
-    reference :230-306)."""
+    """Mixed P4-scalar x P2-vector output space (3D padded write-back),
+    faithful to the reference oracle's element degrees
+    (``test_external_operators_evaluation.py:230-306``)."""
     mesh = fem.create_unit_square(4, 4)
-    e1 = fem.element("Lagrange", mesh.cell_name(), 2)
+    e1 = fem.element("Lagrange", mesh.cell_name(), 4)
     e2 = fem.element("Lagrange", mesh.cell_name(), 2, shape=(2,))
     V = fem.functionspace(mesh, fem.mixed_element([e1, e2]))
     u = fem.Function(V)
@@ -156,8 +157,8 @@ def test_mixed_element_space_vector_subspace():
     pts_V2 = V.sub(1).element.interpolation_points.shape[0]
     pts_total = pts_V1 + pts_V2
 
-    # N = [N1, N2]; N1 = u1 + u2.u2 (degree 4 -> representable in P2? no,
-    # in P4; here u1 is P2 and u2 linear so u2.u2 is quadratic: exact)
+    # N = [N1, N2]; N1 = u1 + u2.u2 — u1 affine and u2 linear, so N1 is
+    # quadratic and exactly representable by interpolation into the P4 sub
     def N_tensor_impl(u1_, u2_):
         u1_ = np.asarray(u1_)
         u2_ = np.asarray(u2_)
