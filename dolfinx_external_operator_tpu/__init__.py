@@ -90,6 +90,13 @@ from .sym import (  # noqa: E402
     inner,
     outer,
     sqrt,
+    exp,
+    ln,
+    sin,
+    cos,
+    tan,
+    arcsin,
+    sign,
     sym as symmetric,
     tr,
     transpose,
@@ -118,7 +125,8 @@ __all__ = [
     "TestFunction", "TrialFunction", "Measure", "Form",
     "SpatialCoordinate", "FacetNormal", "Identity",
     "grad", "div", "inner", "dot", "outer", "tr", "dev", "transpose",
-    "symmetric", "sqrt", "as_vector", "as_matrix", "as_tensor",
+    "symmetric", "sqrt", "exp", "ln", "sin", "cos", "tan", "arcsin",
+    "sign", "as_vector", "as_matrix", "as_tensor",
     "derivative", "expand_derivatives", "action", "adjoint",
     "assemble_scalar", "assemble_vector", "assemble_matrix",
     "create_form", "form",

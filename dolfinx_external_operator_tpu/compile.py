@@ -210,6 +210,78 @@ def _eval_grad_of(e, ctx, memo, gdim):
     if isinstance(e, sym.Transpose):
         g = _eval_grad_of(e.operands[0], ctx, memo, gdim)
         return jnp.swapaxes(g, 0, 1)
+    # ---- product/chain rules for composite expressions (UFL computes
+    # these symbolically via apply_derivatives; here they evaluate directly) --
+    if isinstance(e, sym.Product):  # scalar * anything
+        a, b = e.operands
+        va, vb = eval_expr(a, ctx, memo), eval_expr(b, ctx, memo)
+        ga = _eval_grad_of(a, ctx, memo, gdim)
+        gb = _eval_grad_of(b, ctx, memo, gdim)
+        return vb[..., None] * ga + va * gb
+    if isinstance(e, sym.Division):  # anything / scalar
+        a, b = e.operands
+        va, vb = eval_expr(a, ctx, memo), eval_expr(b, ctx, memo)
+        ga = _eval_grad_of(a, ctx, memo, gdim)
+        gb = _eval_grad_of(b, ctx, memo, gdim)
+        return ga / vb - va[..., None] * gb / (vb * vb)
+    if isinstance(e, sym.Power):
+        a, b = e.operands
+        va = eval_expr(a, ctx, memo)
+        ga = _eval_grad_of(a, ctx, memo, gdim)
+        if isinstance(b, (sym.Literal, Constant)):
+            p = eval_expr(b, ctx, memo)
+            return p * va ** (p - 1.0) * ga
+        vb = eval_expr(b, ctx, memo)
+        gb = _eval_grad_of(b, ctx, memo, gdim)
+        return va**vb * (gb * jnp.log(va) + vb * ga / va)
+    if isinstance(e, sym.Inner):
+        a, b = e.operands
+        va, vb = eval_expr(a, ctx, memo), eval_expr(b, ctx, memo)
+        ga = _eval_grad_of(a, ctx, memo, gdim)
+        gb = _eval_grad_of(b, ctx, memo, gdim)
+        axes = tuple(range(ga.ndim - 1))
+        return jnp.sum(ga * vb[..., None], axis=axes) + jnp.sum(va[..., None] * gb, axis=axes)
+    if isinstance(e, sym.Dot):  # contract last axis of a with first of b
+        a, b = e.operands
+        va, vb = eval_expr(a, ctx, memo), eval_expr(b, ctx, memo)
+        ga = _eval_grad_of(a, ctx, memo, gdim)
+        gb = _eval_grad_of(b, ctx, memo, gdim)
+        t2 = jnp.tensordot(va, gb, axes=1)  # a[:-1] + b[1:] + (g,)
+        ga_f = jnp.moveaxis(ga, -1, 0)  # (g,) + a.shape
+        t1 = jnp.moveaxis(jnp.tensordot(ga_f, vb, axes=1), 0, -1)
+        return t1 + t2
+    if isinstance(e, sym.Outer):
+        a, b = e.operands
+        va, vb = eval_expr(a, ctx, memo), eval_expr(b, ctx, memo)
+        ga = _eval_grad_of(a, ctx, memo, gdim)
+        gb = _eval_grad_of(b, ctx, memo, gdim)
+        t1 = jnp.moveaxis(jnp.tensordot(ga, vb, axes=0), va.ndim, -1)
+        t2 = jnp.tensordot(va, gb, axes=0)
+        return t1 + t2
+    if isinstance(e, sym.Trace):
+        g = _eval_grad_of(e.operands[0], ctx, memo, gdim)
+        return jnp.trace(g, axis1=0, axis2=1)
+    if isinstance(e, sym.Unary):
+        (a,) = e.operands
+        va = eval_expr(a, ctx, memo)
+        ga = _eval_grad_of(a, ctx, memo, gdim)
+        d = {
+            "sqrt": lambda x: 0.5 / jnp.sqrt(x),
+            "exp": jnp.exp,
+            "ln": lambda x: 1.0 / x,
+            "sin": jnp.cos,
+            "cos": lambda x: -jnp.sin(x),
+            "tan": lambda x: 1.0 / jnp.cos(x) ** 2,
+            "arcsin": lambda x: 1.0 / jnp.sqrt(1.0 - x * x),
+            "abs": jnp.sign,
+            "sign": lambda x: jnp.zeros_like(x),
+        }[e.op]
+        return d(va) * ga
+    if isinstance(e, sym.Conditional):
+        cond = eval_expr(e.operands[0], ctx, memo)
+        gt = _eval_grad_of(e.operands[1], ctx, memo, gdim)
+        gf = _eval_grad_of(e.operands[2], ctx, memo, gdim)
+        return jnp.where(cond, gt, gf)
     raise NotImplementedError(
         f"grad() of composite expression {type(e).__name__}; restructure the form so grad applies to terminals"
     )
