@@ -23,6 +23,12 @@ import jax as _jax
 # supported for every op we lower to (LU is avoided; see solvers.py).
 _jax.config.update("jax_enable_x64", True)
 
+# TPU matmuls on f32 inputs default to bf16 MXU passes (~1e-2 relative
+# error) — unacceptable for FEM assembly and for the f32 inner Newton of
+# the plasticity kernels.  Request true-f32 precision; f64 (emulated) is
+# unaffected.
+_jax.config.update("jax_default_matmul_precision", "float32")
+
 # Persistent XLA compilation cache: cold compiles of the while-loop-heavy
 # plasticity programs take minutes through the remote TPU compile helper;
 # cache hits take seconds (utils/compile_cache.py).
@@ -102,6 +108,9 @@ from .sym import (  # noqa: E402
     transpose,
 )
 
+from .dtypes import default_scalar_type, scalar_type_context  # noqa: E402
+
+from . import parallel  # noqa: E402
 from . import petsc  # noqa: E402  (solver-shim namespace, reference parity)
 from . import solvers  # noqa: E402
 
@@ -133,6 +142,7 @@ __all__ = [
     "DirichletBC", "dirichletbc", "locate_dofs_topological",
     "locate_dofs_geometrical", "apply_lifting", "set_bc",
     "solvers", "sym", "unique_external_operators",
+    "parallel", "scalar_type_context", "default_scalar_type",
 ]
 
 __version__ = "0.1.0"

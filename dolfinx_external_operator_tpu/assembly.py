@@ -247,9 +247,9 @@ class _IntegralKernel:
         # per-cell arrays (coords, dofmaps, signs) are passed as jit ARGUMENTS
         # so they are never baked into the HLO (critical for compile time and
         # for sharding the cell axis later).
-        phi_g = np.asarray(batch.phi_g)
-        dphi_g = np.asarray(batch.dphi_g)
-        wts = np.asarray(qwts)
+        phi_g = np.asarray(batch.phi_g, dtype=_F)
+        dphi_g = np.asarray(batch.dphi_g, dtype=_F)
+        wts = np.asarray(qwts, dtype=_F)
         needs_x = info["needs_x"]
         needs_normal = info["needs_normal"]
 
@@ -336,29 +336,49 @@ class _IntegralKernel:
 
         vmapped = jax.vmap(elem_fn, in_axes=(0, 0, 0, None))
 
-        # runtime-argument arrays (device-resident, shardable over cells)
+        # runtime-argument arrays (device-resident; cell axis padded to the
+        # device count and sharded over the default device mesh when one is
+        # installed — GSPMD then auto-partitions the whole assembly, the
+        # ``mpirun -n N`` analog).  Padded cells repeat cell 0's geometry
+        # and indices; their element contributions are zeroed via "valid".
+        from .parallel import pad_shard_cells, padded_cell_count
+
+        from .parallel import shard_cells
+
+        nc_b = batch.cells.shape[0]
+        nc_pad = padded_cell_count(nc_b)
+        valid = None
+        if nc_pad != nc_b:
+            valid = shard_cells(jnp.asarray(
+                np.concatenate([np.ones(nc_b), np.zeros(nc_pad - nc_b)]), _F))
+
         static = {
-            "coords": jnp.asarray(batch.coords, _F),
-            "nsign": (
-                jnp.ones((batch.cells.shape[0], 1), _F)
+            "coords": pad_shard_cells(jnp.asarray(batch.coords, _F), nc_pad),
+            "nsign": pad_shard_cells(
+                jnp.ones((nc_b, 1), _F)
                 if normal_sign is None
-                else jnp.asarray(normal_sign, _F)[:, None]
+                else jnp.asarray(normal_sign, _F)[:, None],
+                nc_pad,
             ),
-            "cells": jnp.asarray(batch.cells),
+            "cells": pad_shard_cells(jnp.asarray(batch.cells), nc_pad),
+            "valid": valid,
             "gathers": [
-                None if p[1] == "qp" else jnp.asarray(f.function_space.unrolled_dofmap[batch.cells])
+                None if p[1] == "qp" else pad_shard_cells(
+                    jnp.asarray(f.function_space.unrolled_dofmap[batch.cells]), nc_pad)
                 for f, p in zip(self.functions, plan)
             ],
             # qp-coefficient row indices: same-mesh -> cell ids; submesh
             # coefficient -> positions within the entity list (codim paths)
             "qp_rows": [
-                None if p[1] != "qp" else jnp.asarray(
+                None if p[1] != "qp" else pad_shard_cells(jnp.asarray(
                     batch.cells if f.function_space.mesh is self.mesh else subset_positions
-                )
+                ), nc_pad)
                 for f, p in zip(self.functions, plan)
             ],
-            "test_dofs": None if test_space is None else jnp.asarray(test_space.unrolled_dofmap[batch.cells]),
-            "trial_dofs": None if trial_space is None else jnp.asarray(trial_space.unrolled_dofmap[batch.cells]),
+            "test_dofs": None if test_space is None else pad_shard_cells(
+                jnp.asarray(test_space.unrolled_dofmap[batch.cells]), nc_pad),
+            "trial_dofs": None if trial_space is None else pad_shard_cells(
+                jnp.asarray(trial_space.unrolled_dofmap[batch.cells]), nc_pad),
         }
         kinds = [p[1] for p in plan]
         bss = [f.function_space.bs for f in self.functions]
@@ -371,6 +391,8 @@ class _IntegralKernel:
                 else:
                     cell_data.append(full[gather])
             elem = vmapped(static["coords"], static["nsign"], cell_data, list(const_vals))
+            if static["valid"] is not None:
+                elem = elem * static["valid"].reshape((-1,) + (1,) * (elem.ndim - 1))
             return elem, static["test_dofs"], static["trial_dofs"]
 
         return batch_fn, static

@@ -54,8 +54,8 @@ class Expression:
         plan = coefficient_inputs(self.info, batch)
         expr = self.expr
         nq = batch.nq
-        dphi_g = np.asarray(batch.dphi_g)
-        phi_g = np.asarray(batch.phi_g)
+        dphi_g = np.asarray(batch.dphi_g, dtype=_F)
+        phi_g = np.asarray(batch.phi_g, dtype=_F)
         needs_x = self.info["needs_x"]
         constants = self.constants
         vshape = expr.shape
@@ -80,11 +80,19 @@ class Expression:
         vmapped = jax.vmap(elem_fn, in_axes=(0, 0, None))
         kinds = [p[1] for p in plan]
         bss = [f.function_space.bs for f in self.functions]
+        from .parallel import pad_shard_cells, padded_cell_count
+
+        # cell axis padded + sharded over the default device mesh when
+        # installed (operand interpolation then runs SPMD over cells);
+        # padded rows repeat cell 0 and are sliced off the output
+        nc_b = batch.cells.shape[0]
+        nc_pad = padded_cell_count(nc_b)
         static = {
-            "coords": jnp.asarray(batch.coords, _F),
-            "cells": jnp.asarray(batch.cells),
+            "coords": pad_shard_cells(jnp.asarray(batch.coords, _F), nc_pad),
+            "cells": pad_shard_cells(jnp.asarray(batch.cells), nc_pad),
             "gathers": [
-                None if p[1] == "qp" else jnp.asarray(f.function_space.unrolled_dofmap[batch.cells])
+                None if p[1] == "qp" else pad_shard_cells(
+                    jnp.asarray(f.function_space.unrolled_dofmap[batch.cells]), nc_pad)
                 for f, p in zip(self.functions, plan)
             ],
         }
@@ -97,6 +105,7 @@ class Expression:
                 else:
                     cell_data.append(full[gather])
             vals = vmapped(static["coords"], cell_data, list(const_vals))  # (nc, nq, *shape)
+            vals = vals[:nc_b]
             if vshape == ():
                 return vals
             return vals.reshape(vals.shape[0], nq, _prod(vshape))

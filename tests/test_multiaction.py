@@ -5,9 +5,10 @@ for adjoint gradients in inverse problems, compared against an analytic
 ``diff`` twin.  Exercises ``action``, ``adjoint``, the DualSpace shim, and
 derivative contraction against a trial function on the parameter space.
 
-Dtype coverage: float64 (the framework's working precision).  The reference
-additionally tests float32/complex128; complex arithmetic is a documented
-exclusion of this TPU build (XLA:TPU f64 emulation does not extend to c128).
+Dtype coverage: float64 and float32 with ``50 * eps``-scaled tolerances
+(reference ``test_multiaction.py:15-23,124-125``).  complex128 is a
+documented exclusion of this TPU build (XLA:TPU f64 emulation does not
+extend to c128) — ``scalar_type_context`` raises on it.
 """
 import numpy as np
 import pytest
@@ -22,8 +23,16 @@ from dolfinx_external_operator_tpu import (
 from dolfinx_external_operator_tpu import sym as S
 
 
+@pytest.mark.parametrize("dtype", [np.float64, np.float32])
 @pytest.mark.parametrize("q_deg", [1, 3, 5])
-def test_nested_action(q_deg):
+def test_nested_action(q_deg, dtype):
+    from dolfinx_external_operator_tpu.dtypes import scalar_type_context
+
+    with scalar_type_context(dtype):
+        _run_nested_action(q_deg, dtype)
+
+
+def _run_nested_action(q_deg, dtype):
     mesh = fem.create_unit_square(4, 4)
 
     T = fem.functionspace(mesh, ("DG", 0, (3,)))
@@ -87,8 +96,17 @@ def test_nested_action(q_deg):
     ref_form = -1.0 * fem.inner(dfdtheta, fem.TestFunction(T)) * lmbda * dx
     vec_ref = np.asarray(fem.assemble_vector(ref_form))
 
-    tol = 50 * np.finfo(np.float64).eps
+    assert vec.dtype == dtype
+    tol = 50 * float(np.finfo(dtype).eps)
     np.testing.assert_allclose(vec, vec_ref, rtol=tol, atol=tol)
+
+
+def test_complex128_documented_exclusion():
+    from dolfinx_external_operator_tpu.dtypes import scalar_type_context
+
+    with pytest.raises(NotImplementedError):
+        with scalar_type_context(np.complex128):
+            pass
 
 
 def test_dual_space_shim():
