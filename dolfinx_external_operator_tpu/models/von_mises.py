@@ -113,6 +113,35 @@ def _return_mapping_kernel():
     return kernel
 
 
+def pallas_batched_kernel(tile=512):
+    """Pallas-backed SoA constitutive kernel for ``FusedPlasticityStep``
+    (``batched_kernel=`` option): the von Mises return map + consistent
+    tangent in a single f32 VMEM pass (``ops/vonmises_pallas.py``), batch
+    padded to the lane tile.  f32 execution — an opt-in fast path for
+    serving-style workloads; the default f64 vmapped kernel remains the
+    1e-10-parity path.
+
+    Signature matches the fused step's SoA contract:
+    ``(deps (4, n), sigma_n (4, n)) -> (C_tang (4, 4, n), sig (4, n))``."""
+    from ..ops.vonmises_pallas import vonmises_return_map_pallas
+
+    params = [LAMBDA, MU, H_MOD, SIGMA_0]
+
+    def batched(deps_soa, sn_soa):
+        n = deps_soa.shape[1]
+        n_pad = ((n + tile - 1) // tile) * tile
+        pad = n_pad - n
+        d32 = jnp.pad(deps_soa.astype(jnp.float32), ((0, 0), (0, pad)))
+        s32 = jnp.pad(sn_soa.astype(jnp.float32), ((0, 0), (0, pad)))
+        p32 = jnp.zeros((n_pad,), jnp.float32)
+        C, sig, dp = vonmises_return_map_pallas(d32, s32, p32, params, tile=tile)
+        C = C[:, :n].reshape(4, 4, n).astype(deps_soa.dtype)
+        sig = sig[:, :n].astype(deps_soa.dtype)
+        return C, sig
+
+    return batched
+
+
 class VonMisesMaterial:
     """Batched return-mapping with consistent tangent, jitted once.
 

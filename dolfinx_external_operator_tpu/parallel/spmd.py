@@ -75,7 +75,8 @@ class FusedPlasticityStep:
     def __init__(self, mesh: Mesh, V, S, kernel, bc_dofs, bc_vals=None,
                  body_dir=(0.0, -1.0), device_mesh: JaxMesh | None = None,
                  newton_atol=1e-8, newton_rtol=1e-8, newton_max_it=100,
-                 cg_rtol=1e-13, cg_maxiter=10000, linear_solver="cg"):
+                 cg_rtol=1e-13, cg_maxiter=10000, linear_solver="cg",
+                 batched_kernel=None):
         self.mesh = mesh
         self.V = V
         self.S = S
@@ -153,8 +154,13 @@ class FusedPlasticityStep:
         # batch-LAST vmap (SoA) so XLA lays the Gauss-point axis along the
         # vector lanes; measured perf-neutral vs batch-first on v5e
         # (NOTES.md "Failed experiments") but kept for layout consistency
-        # with the sharded statics below.
-        self._vkernel = jax.vmap(kernel, in_axes=(-1, -1), out_axes=(-1, -1))
+        # with the sharded statics below.  A caller-supplied batched_kernel
+        # (same SoA signature, e.g. the Pallas f32 fast path
+        # ``models.von_mises.pallas_batched_kernel``) replaces the vmap.
+        if batched_kernel is not None:
+            self._vkernel = batched_kernel
+        else:
+            self._vkernel = jax.vmap(kernel, in_axes=(-1, -1), out_axes=(-1, -1))
 
         if device_mesh is not None:
             spec_cells = P("cells")

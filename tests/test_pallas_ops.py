@@ -49,3 +49,55 @@ def test_pallas_vonmises_matches_xla():
         assert np.abs(dp_p - dp_ref).max() < 1e-7
     finally:
         vp.pl.pallas_call = orig
+
+
+def test_pallas_kernel_drives_fused_step():
+    """The Pallas f32 kernel wired into FusedPlasticityStep
+    (``batched_kernel=``): a von Mises load step converges with the same
+    Newton count as the f64 vmapped path and f32-level displacement
+    agreement."""
+    from functools import partial
+
+    from dolfinx_external_operator_tpu.ops import vonmises_pallas as vp
+    from dolfinx_external_operator_tpu.models.von_mises import (
+        _return_mapping_kernel, pallas_batched_kernel)
+    from dolfinx_external_operator_tpu import (
+        create_rectangle, functionspace, locate_dofs_geometrical, quadrature_element)
+    from dolfinx_external_operator_tpu.parallel.spmd import FusedPlasticityStep
+
+    orig = vp.pl.pallas_call
+    vp.pl.pallas_call = partial(orig, interpret=True)
+    try:
+        mesh = create_rectangle((0.0, 0.0), (1.2, 1.0), (4, 3), "triangle")
+        V = functionspace(mesh, ("Lagrange", 2, (2,)))
+        S = functionspace(mesh, quadrature_element(mesh.cell_name(), degree=2, value_shape=(4,)))
+        bottom = locate_dofs_geometrical(V, lambda x: np.isclose(x[1], 0.0))
+        right = locate_dofs_geometrical(V, lambda x: np.isclose(x[0], 1.2))
+        bc_dofs = np.concatenate([np.concatenate([s * 2, s * 2 + 1]) for s in (bottom, right)])
+        vm = _return_mapping_kernel()
+
+        def kernel(deps, sn):
+            C_tang, sig, dp = vm(deps, sn, jnp.zeros(()))
+            return C_tang, sig
+
+        results = {}
+        # the f32 kernel cannot drive the residual to f64 tolerances:
+        # the fast path runs with f32-scaled Newton tolerances
+        for name, bk, tols in (
+            ("f64", None, {}),
+            ("pallas_f32", pallas_batched_kernel(tile=512),
+             {"newton_rtol": 1e-5, "newton_atol": 1e-3}),
+        ):
+            fp = FusedPlasticityStep(mesh, V, S, kernel, bc_dofs, linear_solver="dense",
+                                     batched_kernel=bk, **tols)
+            Du, sig = fp.zero_state()
+            Du, sig, norm, its, cg = fp.run_step(Du, sig, 30.0)
+            assert not bool(jnp.isnan(norm))
+            results[name] = (np.asarray(Du), int(its))
+
+        assert results["pallas_f32"][1] <= 10  # converged, not the iteration cap
+        du_ref = results["f64"][0]
+        err = np.abs(results["pallas_f32"][0] - du_ref).max() / max(np.abs(du_ref).max(), 1e-30)
+        assert err < 1e-3, err
+    finally:
+        vp.pl.pallas_call = orig
