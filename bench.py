@@ -5,14 +5,19 @@ Prints ONE JSON line:
   {"metric": ..., "value": N, "unit": ..., "vs_baseline": N, ...extras}
 
 Primary metric: Gauss points/second through the full consistent-tangent
-return map (inner Newton via lax.while_loop + jacfwd tangent — the hot loop
-of the reference's headline demo, ``demo_plasticity_mohr_coulomb.py:574``).
-``vs_baseline`` is the speedup over the SAME jitted kernel executed on this
-host's CPU — the reference implements this exact kernel with JAX-on-CPU, so
-this isolates the hardware + batching win at equal algorithmic footing.
+return map (mixed-precision inner Newton with closed-form Jacobians +
+difficulty-sorted chunking — the hot loop of the reference's headline demo,
+``demo_plasticity_mohr_coulomb.py:574``).  ``vs_baseline`` is the speedup
+over the SAME jitted kernel on this host's CPU — the reference implements
+this exact kernel with JAX-on-CPU, so this isolates the hardware + batching
+win at equal algorithmic footing.
 
-Extras report the end-to-end fused load-step wall time on the reference's
-25x25 slope-stability mesh (52-step schedule, BASELINE.md).
+Extras:
+- ``e2e_slope_stability_25x25``: the full 52-step schedule on the
+  reference's mesh, on TPU AND on the host CPU through the SAME fused
+  pipeline — an honest end-to-end hardware ratio.
+- ``scaling``: per-step wall time + kernel throughput at 50x50 and 100x100
+  meshes (matrix-free CG path), the pts/s-vs-size curve.
 """
 
 import json
@@ -26,7 +31,7 @@ def _log(msg):
     print(msg, file=sys.stderr, flush=True)
 
 
-def _kernel_throughput(mat, device, n_points, reps):
+def _kernel_throughput(mat, device, n_points, reps, sorted_chunk=None):
     """Honest protocol: pre-staged DISTINCT inputs per rep, one blocking
     wait over the list of outputs (repeat-identical dispatches through the
     TPU tunnel can return unreliably fast)."""
@@ -43,7 +48,11 @@ def _kernel_throughput(mat, device, n_points, reps):
 
     with jax.default_device(device):
         s = jnp.asarray(sigma_n)
-        fn = jax.jit(lambda a, b: mat.tangent_and_stress(a.reshape(-1), b.reshape(-1))[:2])
+        if sorted_chunk:
+            fn = jax.jit(lambda a, b: mat.tangent_and_stress_sorted(
+                a.reshape(-1), b.reshape(-1), chunk=sorted_chunk)[:2])
+        else:
+            fn = jax.jit(lambda a, b: mat.tangent_and_stress(a.reshape(-1), b.reshape(-1))[:2])
         inputs = [jnp.asarray(deps * (1.0 + 1e-9 * i)) for i in range(reps)]
         jax.block_until_ready(inputs)
         out = fn(inputs[0], s)
@@ -55,17 +64,13 @@ def _kernel_throughput(mat, device, n_points, reps):
     return n_points / dt
 
 
-def _end_to_end(device):
-    """Fused 52-step slope-stability schedule on the reference mesh size."""
-    import jax
-    import jax.numpy as jnp
-
+def _build_fused(mat, Nx, Ny, linear_solver, sorted_chunk=None):
     from dolfinx_external_operator_tpu import locate_dofs_geometrical
     from dolfinx_external_operator_tpu.models.mohr_coulomb import build_slope_problem
     from dolfinx_external_operator_tpu.parallel.spmd import FusedPlasticityStep
 
-    P = build_slope_problem(Nx=25, Ny=25)
-    mat, mesh, V, S = P["material"], P["mesh"], P["V"], P["S"]
+    P = build_slope_problem(Nx=Nx, Ny=Ny)
+    mesh, V, S = P["mesh"], P["V"], P["S"]
     bottom = locate_dofs_geometrical(V, lambda x: np.isclose(x[1], 0.0))
     right = locate_dofs_geometrical(V, lambda x: np.isclose(x[0], 1.2))
     bc_dofs = np.concatenate([np.concatenate([s * 2, s * 2 + 1]) for s in (bottom, right)])
@@ -74,12 +79,16 @@ def _end_to_end(device):
         C_tang, state = mat.tangent_stress_point(deps, sn)
         return C_tang, state[0]
 
-    fp = FusedPlasticityStep(mesh, V, S, kernel, bc_dofs, linear_solver="dense")
-    load_steps = np.concatenate([np.linspace(2, 22.9, 50), np.array([22.96, 22.99])])
+    bk = mat.batched_kernel_sorted(sorted_chunk) if sorted_chunk else None
+    return FusedPlasticityStep(mesh, V, S, kernel, bc_dofs,
+                               linear_solver=linear_solver, batched_kernel=bk)
+
+
+def _run_schedule(fp, load_steps, label):
+    import jax
 
     Du, sig = fp.zero_state()
-    # warmup/compile on the first step
-    Du_w, sig_w, *_ = fp.run_step(Du, sig, float(load_steps[0]))
+    Du_w, sig_w, *_ = fp.run_step(Du, sig, float(load_steps[0]))  # warmup/compile
     jax.block_until_ready((Du_w, sig_w))
 
     Du, sig = fp.zero_state()
@@ -89,16 +98,15 @@ def _end_to_end(device):
         Du, sig, norm, its, cg = fp.run_step(Du, sig, float(load))
         newton_total += int(its)
         if i % 10 == 0:
-            _log(f"  e2e step {i}: load={load:.2f} newton={int(its)} cg={int(cg)} norm={float(norm):.2e}")
+            _log(f"  {label} step {i}: load={load:.2f} newton={int(its)} cg={int(cg)} norm={float(norm):.2e}")
     jax.block_until_ready((Du, sig))
     wall = time.perf_counter() - t0
-    n_gauss = fp.nc * fp.nq
     return {
         "steps": len(load_steps),
-        "wall_s": wall,
-        "per_step_s": wall / len(load_steps),
+        "wall_s": round(wall, 3),
+        "per_step_s": round(wall / len(load_steps), 4),
         "newton_total": newton_total,
-        "gauss_points": n_gauss,
+        "gauss_points": fp.nc * fp.nq,
         "final_residual": float(norm),
     }
 
@@ -114,14 +122,32 @@ def main():
 
     mat = MohrCoulombMaterial()
 
-    n_points = 1 << 16  # 65536 Gauss points (largest validated-safe width)
-    _log("bench: TPU kernel throughput...")
-    tpu_pps = _kernel_throughput(mat, accel, n_points, reps=10)
-    _log(f"bench: TPU {tpu_pps:.3e} pts/s; CPU baseline...")
-    cpu_pps = _kernel_throughput(mat, cpu, n_points, reps=3)
-    _log(f"bench: CPU {cpu_pps:.3e} pts/s; end-to-end...")
+    n_points = 1 << 16  # 65536 Gauss points
+    _log("bench: TPU kernel throughput (difficulty-sorted chunked)...")
+    tpu_pps = _kernel_throughput(mat, accel, n_points, reps=10, sorted_chunk=8192)
+    _log(f"bench: TPU {tpu_pps:.3e} pts/s; CPU baseline (same kernel)...")
+    cpu_pps = _kernel_throughput(mat, cpu, n_points, reps=3, sorted_chunk=8192)
+    _log(f"bench: CPU {cpu_pps:.3e} pts/s; e2e 25x25 on TPU...")
 
-    e2e = _end_to_end(accel)
+    full_schedule = np.concatenate([np.linspace(2, 22.9, 50), np.array([22.96, 22.99])])
+    fp_tpu = _build_fused(mat, 25, 25, "dense")
+    e2e_tpu = _run_schedule(fp_tpu, full_schedule, "tpu-25x25")
+
+    _log("bench: e2e 25x25 on host CPU (same pipeline)...")
+    with jax.default_device(cpu):
+        fp_cpu = _build_fused(mat, 25, 25, "dense")
+        e2e_cpu = _run_schedule(fp_cpu, full_schedule, "cpu-25x25")
+    e2e_ratio = e2e_cpu["wall_s"] / e2e_tpu["wall_s"]
+
+    _log("bench: scaling curve (cg path, sorted kernel)...")
+    scaling = {}
+    short = full_schedule[:6]
+    for nx in (50, 100):
+        fp = _build_fused(mat, nx, nx, "cg", sorted_chunk=8192)
+        r = _run_schedule(fp, short, f"tpu-{nx}x{nx}")
+        r["kernel_pts_per_s"] = round(
+            _kernel_throughput(mat, accel, fp.nc * fp.nq, reps=5, sorted_chunk=8192), 1)
+        scaling[f"{nx}x{nx}"] = r
 
     print(
         json.dumps(
@@ -132,7 +158,10 @@ def main():
                 "vs_baseline": round(tpu_pps / cpu_pps, 2),
                 "cpu_baseline_pts_per_sec": round(cpu_pps, 1),
                 "device": str(accel),
-                "e2e_slope_stability_25x25": e2e,
+                "e2e_slope_stability_25x25": e2e_tpu,
+                "e2e_cpu_same_pipeline": e2e_cpu,
+                "e2e_tpu_vs_cpu": round(e2e_ratio, 2),
+                "scaling": scaling,
             }
         )
     )

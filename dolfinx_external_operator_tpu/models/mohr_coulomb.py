@@ -362,6 +362,8 @@ class MohrCoulombMaterial:
 
         self.f_yield = f_yield
         self.g_pot = g_pot
+        self._surface_f = terms_f64_f  # batched sort key (trial yield value)
+        self._C_elas_j = C_elas
         self.return_mapping = return_mapping
         self.dsigma_ddeps = jax.jacfwd(return_mapping, has_aux=True)  # reference-style path
         self.tangent_stress_point = tangent_stress_point  # implicit path (default)
@@ -378,6 +380,70 @@ class MohrCoulombMaterial:
         self._vmapped_rm_soa = jax.jit(
             jax.vmap(self.return_mapping, in_axes=(-1, -1), out_axes=(-1, (-1, -1, -1, -1, -1)))
         )
+
+    def _sorted_soa(self, chunk):
+        """Difficulty-sorted chunked SoA kernel (cached per chunk size).
+
+        The vmapped inner Newton runs to the MAX-lane iteration count, so one
+        apex-region outlier gates the whole batch (the r1 bottleneck).  Sort
+        lanes by trial yield value f(sigma_tr) — a cheap one-transcendental
+        proxy for return-map difficulty — and process in chunks via
+        ``lax.map``: each chunk's while_loop stops at its OWN max lane, so
+        the (majority) elastic/mildly-plastic chunks exit in 0-3 iterations
+        and only the hardest chunk pays the tail."""
+        cache = getattr(self, "_sorted_cache", None)
+        if cache is None:
+            cache = self._sorted_cache = {}
+        fn = cache.get(chunk)
+        if fn is not None:
+            return fn
+        vk = self._vmapped_soa
+        surface = self._surface_f
+        C = self._C_elas_j
+
+        def sorted_fn(deps_soa, sn_soa):
+            n = deps_soa.shape[1]
+            n_pad = ((n + chunk - 1) // chunk) * chunk
+            d = jnp.pad(deps_soa, ((0, 0), (0, n_pad - n)))
+            s = jnp.pad(sn_soa, ((0, 0), (0, n_pad - n)))
+            sig_tr = C @ d + s
+            f_tr = jax.vmap(lambda x: surface(x)[0], in_axes=-1)(sig_tr)
+            order = jnp.argsort(f_tr)
+            inv = jnp.argsort(order)
+            ds = d[:, order].reshape(STRESS_DIM, -1, chunk).transpose(1, 0, 2)
+            ss = s[:, order].reshape(STRESS_DIM, -1, chunk).transpose(1, 0, 2)
+            C_c, aux_c = jax.lax.map(lambda t: vk(t[0], t[1]), (ds, ss))
+
+            def unchunk(a):
+                # (k, ..., chunk) -> (..., n_pad) -> unsort -> (..., n)
+                a = jnp.moveaxis(a, 0, -2).reshape(a.shape[1:-1] + (n_pad,))
+                return a[..., inv][..., :n]
+
+            return unchunk(C_c), tuple(unchunk(a) for a in aux_c)
+
+        fn = jax.jit(sorted_fn)
+        cache[chunk] = fn
+        return fn
+
+    def tangent_and_stress_sorted(self, deps_flat, sigma_n_flat, chunk=8192):
+        """``tangent_and_stress`` through the difficulty-sorted chunked
+        kernel — the high-throughput path for large Gauss-point batches."""
+        deps = deps_flat.reshape(-1, STRESS_DIM).T
+        sn = sigma_n_flat.reshape(-1, STRESS_DIM).T
+        C_tang, state = self._sorted_soa(chunk)(deps, sn)
+        sig, niter, yielding, norm_res, dlambda = state
+        stats = {"niter": niter, "max_f": jnp.max(yielding), "max_res": jnp.max(norm_res)}
+        return (jnp.moveaxis(C_tang, -1, 0).reshape(-1), sig.T.reshape(-1), stats)
+
+    def batched_kernel_sorted(self, chunk=8192):
+        """SoA constitutive kernel for ``FusedPlasticityStep(batched_kernel=...)``."""
+        inner = self._sorted_soa(chunk)
+
+        def batched(deps_soa, sn_soa):
+            C_tang, state = inner(deps_soa, sn_soa)
+            return C_tang, state[0]
+
+        return batched
 
     def tangent_and_stress(self, deps_flat, sigma_n_flat):
         """Batched consistent tangent + stress (the external-function body).

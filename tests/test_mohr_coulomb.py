@@ -93,3 +93,22 @@ def test_slope_stability_small():
     # plasticity must be active by the last step: compliance increases
     dl = np.diff(r[1:, 1])
     assert du[-1] / dl[-1] > 1.5 * du[0] / dl[0]
+
+
+def test_sorted_chunked_kernel_parity():
+    """Difficulty-sorted chunked kernel (the high-throughput batch path)
+    matches the plain vmapped kernel to solver precision."""
+    import jax.numpy as jnp
+
+    mat = MohrCoulombMaterial()
+    n = 1500
+    rng = np.random.default_rng(0)
+    deps = rng.normal(scale=1e-3, size=(n, 4))
+    deps[:, :3] -= 1.5e-3
+    deps[: n // 2, 3] += 6e-3
+    sn = np.zeros((n, 4))
+    C1, s1, _ = mat.tangent_and_stress(jnp.asarray(deps).ravel(), jnp.asarray(sn).ravel())
+    C2, s2, _ = mat.tangent_and_stress_sorted(jnp.asarray(deps).ravel(), jnp.asarray(sn).ravel(), chunk=256)
+    C_scale = float(jnp.abs(C1).max())
+    assert float(jnp.abs(C1 - C2).max()) / C_scale < 1e-9
+    assert float(jnp.abs(s1 - s2).max()) < 1e-8
