@@ -274,6 +274,11 @@ class FEMExternalOperator(sym.Expr):
         )
 
     # -- write-back plans (reference external_operator.py:286-335) ---------
+    #
+    # All strategies precompute device-resident index plans once (lazily):
+    # each assignment is then a single fused gather+scatter dispatch — no
+    # per-call index re-upload, no per-subspace Python loop of scatters.
+
     def _assign_non_mixed_contiguous(self, values):
         self.ref_coefficient._data = jnp.asarray(values, self.ref_coefficient.dtype).reshape(
             self.ref_coefficient._data.shape
@@ -281,33 +286,45 @@ class FEMExternalOperator(sym.Expr):
 
     def _assign_non_mixed(self, values):
         f = self.ref_coefficient
-        f._data = f._data.at[jnp.asarray(self.unrolled_dofmap.ravel())].set(
-            jnp.asarray(values, f.dtype).reshape(-1)
-        )
+        idx = getattr(self, "_assign_idx", None)
+        if idx is None:
+            idx = self._assign_idx = jnp.asarray(self.unrolled_dofmap.ravel())
+        f._data = f._data.at[idx].set(jnp.asarray(values, f.dtype).reshape(-1))
+
+    def _mixed_scatter_plan(self):
+        """(dst, src): data[dst] = values.ravel()[src], covering every
+        subspace block in one scatter."""
+        plan = getattr(self, "_mixed_plan", None)
+        if plan is not None:
+            return plan
+        npt = self._n_points_total
+        comp = self._comp_size
+        dst_l, src_l = [], []
+        for info in self._mixed_subspace_info:
+            fd = np.asarray(info["flat_dofs"]).ravel()
+            n_cells = fd.size // info["dofs_per_cell"]
+            off, n_pts, vs = info["offset"], info["n_pts"], info["val_size"]
+            c = np.repeat(np.arange(n_cells), info["dofs_per_cell"])
+            if comp == 1:
+                p = np.tile(np.arange(off, off + n_pts), n_cells)
+                src = c * npt + p
+            else:
+                p = np.tile(np.repeat(np.arange(off, off + n_pts), vs), n_cells)
+                v = np.tile(np.arange(vs), n_cells * n_pts)
+                src = (c * npt + p) * comp + v
+            dst_l.append(fd)
+            src_l.append(src)
+        plan = (jnp.asarray(np.concatenate(dst_l)), jnp.asarray(np.concatenate(src_l)))
+        self._mixed_plan = plan
+        return plan
 
     def _assign_mixed_2d(self, values):
         f = self.ref_coefficient
-        values = jnp.asarray(values, f.dtype)
-        if values.ndim == 1:
-            values = values.reshape(-1, self._n_points_total)
-        data = f._data
-        for info in self._mixed_subspace_info:
-            block = values[:, info["offset"]: info["offset"] + info["n_pts"]]
-            data = data.at[jnp.asarray(info["flat_dofs"])].set(block.reshape(-1))
-        f._data = data
+        dst, src = self._mixed_scatter_plan()
+        vals = jnp.asarray(values, f.dtype).reshape(-1)
+        f._data = f._data.at[dst].set(vals[src])
 
-    def _assign_mixed_3d(self, values):
-        f = self.ref_coefficient
-        values = jnp.asarray(values, f.dtype)
-        if values.ndim == 1:
-            values = values.reshape(-1, self._n_points_total, self._comp_size)
-        n_cells = values.shape[0]
-        data = f._data
-        for info in self._mixed_subspace_info:
-            chunk = values[:, info["offset"]: info["offset"] + info["n_pts"], : info["val_size"]]
-            block = chunk.reshape(n_cells, info["dofs_per_cell"])
-            data = data.at[jnp.asarray(info["flat_dofs"])].set(block.reshape(-1))
-        f._data = data
+    _assign_mixed_3d = _assign_mixed_2d
 
 
 # ----------------------------------------------------------------------

@@ -57,7 +57,8 @@ def _u_NN(mod, gdim, x, theta):
 @pytest.mark.parametrize(
     "cell_type,n",
     [("interval", 8), ("triangle", 2), ("triangle", 4), ("triangle", 8),
-     ("quadrilateral", 4), ("tetrahedron", 3), ("hexahedron", 3)],
+     ("quadrilateral", 4), ("tetrahedron", 2), ("tetrahedron", 3),
+     ("hexahedron", 2), ("hexahedron", 3)],
 )
 def test_nested_replacement_operator(cell_type, n, q_deg):
     mesh = _mesh(cell_type, n)
