@@ -189,7 +189,7 @@ class NewtonSolver:
         self.rtol = rtol
         self.max_it = max_it
         self.monitor = monitor
-        self.ksp_type = ksp_type  # "preonly"/"lu" -> dense direct; "cg" -> EBE Jacobi-PCG
+        self.ksp_type = ksp_type  # "preonly"/"lu" -> dense direct; "cg"/"gmres"/"bicgstab" -> EBE matrix-free
         self.ksp_rtol = ksp_rtol
         self.ksp_atol = ksp_atol
         self.ksp_max_it = ksp_max_it
@@ -200,7 +200,7 @@ class NewtonSolver:
         u = problem.u
         n = u.function_space.num_dofs
         mask, g = bc_arrays(problem.bcs, n)
-        matrix_free = self.ksp_type == "cg"
+        matrix_free = self.ksp_type in ("cg", "gmres", "bicgstab")
 
         def residual():
             """BC-adjusted residual WITHOUT assembling the Jacobian: the
@@ -224,12 +224,38 @@ class NewtonSolver:
                 # PETSc KSP default maxits parity (10000); the breakdown
                 # guard in _ebe_pcg exits earlier at the rounding floor
                 maxiter = self.ksp_max_it if self.ksp_max_it is not None else min(10 * n, 10000)
-                delta, k = _ebe_pcg(
-                    tuple(e for e, _, _ in elems),
-                    tuple(td for _, td, _ in elems),
-                    tuple(ud for _, _, ud in elems),
-                    mask, diag, -r, self.ksp_rtol, self.ksp_atol, maxiter)
-                self.ksp_iterations += int(k)
+                if self.ksp_type == "cg":
+                    delta, k = _ebe_pcg(
+                        tuple(e for e, _, _ in elems),
+                        tuple(td for _, td, _ in elems),
+                        tuple(ud for _, _, ud in elems),
+                        mask, diag, -r, self.ksp_rtol, self.ksp_atol, maxiter)
+                    self.ksp_iterations += int(k)
+                    return delta
+                # gmres / bicgstab for non-symmetric Jacobians, over the
+                # same EBE matvec with Jacobi preconditioning
+                from jax.scipy.sparse import linalg as jsla
+
+                free = ~mask
+
+                def matvec(x):
+                    xz = jnp.where(free, x, 0.0)
+                    out = jnp.zeros((n,), _F64)
+                    for e, td, ud in elems:
+                        y = jnp.einsum("cij,cj->ci", e, xz[ud])
+                        out = out + jax.ops.segment_sum(y.ravel(), td.ravel(), num_segments=n)
+                    return jnp.where(free, out, 0.0) + jnp.where(mask, x, 0.0)
+
+                M = lambda x: x / diag
+                if self.ksp_type == "gmres":
+                    delta, _ = jsla.gmres(matvec, -r, M=M, tol=self.ksp_rtol,
+                                          atol=self.ksp_atol, maxiter=maxiter,
+                                          restart=min(n, 50), solve_method="batched")
+                elif self.ksp_type == "bicgstab":
+                    delta, _ = jsla.bicgstab(matvec, -r, M=M, tol=self.ksp_rtol,
+                                             atol=self.ksp_atol, maxiter=maxiter)
+                else:
+                    raise ValueError(f"unknown ksp_type {self.ksp_type!r}")
                 return delta
             A = problem.J.matrix()
             keep = (~mask).astype(A.dtype)

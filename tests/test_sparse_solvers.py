@@ -133,3 +133,15 @@ def test_heat_300x300_general_path():
     arr = np.asarray(T.data)
     assert np.isfinite(arr).all() and arr.max() > 0.01
     print(f"300x300 general-path heat: its={its} ksp={prob.solver.ksp_iterations} wall={wall:.1f}s")
+
+
+@pytest.mark.parametrize("ksp", ["gmres", "bicgstab"])
+def test_newton_gmres_bicgstab(ksp):
+    """Non-symmetric-capable Krylov options over the same EBE matvec
+    (PETSc KSP family parity)."""
+    prob, T, _ = _heat_problem(7, ksp, atol=1e-9)
+    its, conv = prob.solve()
+    assert conv
+    prob_d, T_d, _ = _heat_problem(7, "preonly", atol=1e-9)
+    prob_d.solve()
+    np.testing.assert_allclose(np.asarray(T.data), np.asarray(T_d.data), rtol=0, atol=1e-7)
