@@ -246,22 +246,32 @@ class FusedPlasticityStep:
             bnorm = jnp.sqrt(jnp.vdot(b, b))
             target = cg_rtol * bnorm
 
+            # breakdown guard (`ok`): when rounding breaks the SPD
+            # invariants (rz > 0, p.Ap > 0) CG has hit its floating-point
+            # floor — which sits ABOVE the host's under TPU f64 emulation,
+            # so tight targets (1e-13 ||b||) are routinely unreachable at
+            # scale.  Exit with the best iterate instead of NaN (which made
+            # the Newton loop spin to max_it and the device time out).
             def cond(sta):
-                x, r, z, p, rz, k = sta
-                return jnp.logical_and(jnp.sqrt(jnp.vdot(r, r)) > target, k < maxiter)
+                x, r, z, p, rz, k, ok = sta
+                return ok & (jnp.sqrt(jnp.vdot(r, r)) > target) & (k < maxiter)
 
             def body(sta):
-                x, r, z, p, rz, k = sta
+                x, r, z, p, rz, k, ok = sta
                 Ap = mv(p)
-                alpha = rz / jnp.vdot(p, Ap)
+                pAp = jnp.vdot(p, Ap)
+                ok = jnp.isfinite(pAp) & (pAp > 0.0) & jnp.isfinite(rz) & (rz > 0.0)
+                alpha = jnp.where(ok, rz / jnp.where(pAp > 0.0, pAp, 1.0), 0.0)
                 x = x + alpha * p
                 r = r - alpha * Ap
                 z = Minv * r
                 rz2 = jnp.vdot(r, z)
-                p = z + (rz2 / rz) * p
-                return (x, r, z, p, rz2, k + 1)
+                beta = jnp.where(rz > 0.0, rz2 / jnp.where(rz > 0.0, rz, 1.0), 0.0)
+                p = z + beta * p
+                return (x, r, z, p, rz2, k + 1, ok)
 
-            x, r, z, p, rz, k = jax.lax.while_loop(cond, body, (x, r, z, p, rz, 0))
+            sta0 = (x, r, z, p, rz, 0, rz >= 0.0)
+            x, r, z, p, rz, k, ok = jax.lax.while_loop(cond, body, sta0)
             return x, k
 
         n_dofs = self.n_dofs
