@@ -246,18 +246,23 @@ class FusedPlasticityStep:
             bnorm = jnp.sqrt(jnp.vdot(b, b))
             target = cg_rtol * bnorm
 
-            # breakdown guard (`ok`): when rounding breaks the SPD
-            # invariants (rz > 0, p.Ap > 0) CG has hit its floating-point
-            # floor — which sits ABOVE the host's under TPU f64 emulation,
-            # so tight targets (1e-13 ||b||) are routinely unreachable at
-            # scale.  Exit with the best iterate instead of NaN (which made
-            # the Newton loop spin to max_it and the device time out).
+            # Safeguarded CG.  Under TPU f64 emulation the attainable
+            # residual floor sits ABOVE the host's, so tight targets
+            # (1e-13 ||b||) are routinely unreachable at scale — and CG
+            # iterated past its floor does not stagnate, it DIVERGES
+            # (observed: floor 1e-13 at k~1200, |r| back to 1e+3 by
+            # k~3000, then NaN; the Newton loop then spun to max_it and
+            # the device timed out).  Track the best iterate and exit on
+            # (a) SPD-invariant breakdown or (b) residual growth past
+            # 10x the best seen; return the best iterate.
+            norm0_cg = jnp.sqrt(jnp.vdot(r, r))
+
             def cond(sta):
-                x, r, z, p, rz, k, ok = sta
-                return ok & (jnp.sqrt(jnp.vdot(r, r)) > target) & (k < maxiter)
+                x, r, z, p, rz, k, ok, x_best, n_best, n_cur = sta
+                return ok & (n_cur > target) & (k < maxiter)
 
             def body(sta):
-                x, r, z, p, rz, k, ok = sta
+                x, r, z, p, rz, k, ok, x_best, n_best, n_cur = sta
                 Ap = mv(p)
                 pAp = jnp.vdot(p, Ap)
                 ok = jnp.isfinite(pAp) & (pAp > 0.0) & jnp.isfinite(rz) & (rz > 0.0)
@@ -268,11 +273,17 @@ class FusedPlasticityStep:
                 rz2 = jnp.vdot(r, z)
                 beta = jnp.where(rz > 0.0, rz2 / jnp.where(rz > 0.0, rz, 1.0), 0.0)
                 p = z + beta * p
-                return (x, r, z, p, rz2, k + 1, ok)
+                n_new = jnp.sqrt(jnp.vdot(r, r))
+                better = n_new < n_best
+                x_best = jnp.where(better, x, x_best)
+                n_best = jnp.where(better, n_new, n_best)
+                ok = ok & jnp.isfinite(n_new) & (n_new < 100.0 * n_best)
+                return (x, r, z, p, rz2, k + 1, ok, x_best, n_best, n_new)
 
-            sta0 = (x, r, z, p, rz, 0, rz >= 0.0)
-            x, r, z, p, rz, k, ok = jax.lax.while_loop(cond, body, sta0)
-            return x, k
+            sta0 = (x, r, z, p, rz, 0, rz >= 0.0, x, norm0_cg, norm0_cg)
+            out = jax.lax.while_loop(cond, body, sta0)
+            x_best, k = out[7], out[5]
+            return x_best, k
 
         n_dofs = self.n_dofs
         use_dense = self.linear_solver == "dense"

@@ -82,15 +82,18 @@ def cg(matvec, b, x0=None, M=None, tol=1e-12, atol=0.0, maxiter=None):
     bnorm = jnp.linalg.norm(b)
     target = jnp.maximum(tol * bnorm, atol)
 
+    # safeguarded: breakdown guard + best-iterate divergence exit (see
+    # _ebe_pcg for rationale — CG past its floating-point floor diverges)
+    n_best0 = jnp.linalg.norm(r)
+
     def cond(state):
-        x, r, z, p, rz, k, ok = state
-        return ok & (jnp.linalg.norm(r) > target) & (k < maxiter)
+        x, r, z, p, rz, k, ok, x_best, n_best, n_cur = state
+        return ok & (n_cur > target) & (k < maxiter)
 
     def body(state):
-        x, r, z, p, rz, k, ok = state
+        x, r, z, p, rz, k, ok, x_best, n_best, n_cur = state
         Ap = matvec(p)
         pAp = jnp.vdot(p, Ap)
-        # breakdown guard: exit at the floating-point floor instead of NaN
         ok = jnp.isfinite(pAp) & (pAp > 0.0) & jnp.isfinite(rz) & (rz > 0.0)
         alpha = jnp.where(ok, rz / jnp.where(pAp > 0.0, pAp, 1.0), 0.0)
         x = x + alpha * p
@@ -99,11 +102,16 @@ def cg(matvec, b, x0=None, M=None, tol=1e-12, atol=0.0, maxiter=None):
         rz_new = jnp.vdot(r, z)
         beta = jnp.where(rz > 0.0, rz_new / jnp.where(rz > 0.0, rz, 1.0), 0.0)
         p = z + beta * p
-        return (x, r, z, p, rz_new, k + 1, ok)
+        n_new = jnp.linalg.norm(r)
+        better = n_new < n_best
+        x_best = jnp.where(better, x, x_best)
+        n_best = jnp.where(better, n_new, n_best)
+        ok = ok & jnp.isfinite(n_new) & (n_new < 100.0 * n_best)
+        return (x, r, z, p, rz_new, k + 1, ok, x_best, n_best, n_new)
 
-    state = (x, r, z, p, rz, 0, jnp.asarray(True))
-    x, r, z, p, rz, k, ok = jax.lax.while_loop(cond, body, state)
-    return x, k
+    state = (x, r, z, p, rz, 0, jnp.asarray(True), x, n_best0, n_best0)
+    out = jax.lax.while_loop(cond, body, state)
+    return out[7], out[5]
 
 
 # ----------------------------------------------------------------------
@@ -139,16 +147,20 @@ def _ebe_pcg(elems, tdofs_l, udofs_l, mask, diag, b, rtol, atol, maxiter):
     p = z
     rz = jnp.vdot(r, z)
 
-    # `ok` is the breakdown guard: once rounding makes the SPD invariants
-    # (rz > 0, p.Ap > 0) fail — CG has hit its floating-point floor — exit
-    # with the best iterate instead of dividing toward NaN.  Matters on TPU,
-    # whose emulated-f64 reduction floor sits above the host's.
+    # Safeguarded CG: breakdown guard (`ok`, SPD invariants) + best-iterate
+    # tracking with a divergence exit.  Under TPU f64 emulation the
+    # attainable floor sits above the host's; CG iterated past its floor
+    # does not stagnate, it DIVERGES (residual grows back by orders of
+    # magnitude and eventually NaNs), so exit when the residual exceeds
+    # 100x the best seen and return the best iterate.
+    n_best0 = jnp.linalg.norm(r)
+
     def cond(state):
-        x, r, z, p, rz, k, ok = state
-        return ok & (jnp.linalg.norm(r) > target) & (k < maxiter)
+        x, r, z, p, rz, k, ok, x_best, n_best, n_cur = state
+        return ok & (n_cur > target) & (k < maxiter)
 
     def body(state):
-        x, r, z, p, rz, k, ok = state
+        x, r, z, p, rz, k, ok, x_best, n_best, n_cur = state
         Ap = matvec(p)
         pAp = jnp.vdot(p, Ap)
         ok = jnp.isfinite(pAp) & (pAp > 0.0) & jnp.isfinite(rz) & (rz > 0.0)
@@ -158,11 +170,16 @@ def _ebe_pcg(elems, tdofs_l, udofs_l, mask, diag, b, rtol, atol, maxiter):
         z = M(r)
         rz_new = jnp.vdot(r, z)
         beta = jnp.where(rz > 0.0, rz_new / jnp.where(rz > 0.0, rz, 1.0), 0.0)
-        return (x, r, z, p * beta + z, rz_new, k + 1, ok)
+        n_new = jnp.linalg.norm(r)
+        better = n_new < n_best
+        x_best = jnp.where(better, x, x_best)
+        n_best = jnp.where(better, n_new, n_best)
+        ok = ok & jnp.isfinite(n_new) & (n_new < 100.0 * n_best)
+        return (x, r, z, p * beta + z, rz_new, k + 1, ok, x_best, n_best, n_new)
 
-    state = (x, r, z, p, rz, 0, jnp.asarray(True))
-    x, r, z, p, rz, k, ok = jax.lax.while_loop(cond, body, state)
-    return x, k
+    state = (x, r, z, p, rz, 0, jnp.asarray(True), x, n_best0, n_best0)
+    out = jax.lax.while_loop(cond, body, state)
+    return out[7], out[5]
 
 
 # ----------------------------------------------------------------------
