@@ -84,18 +84,24 @@ def _build_fused(mat, Nx, Ny, linear_solver, sorted_chunk=None):
                                linear_solver=linear_solver, batched_kernel=bk)
 
 
-def _run_schedule(fp, load_steps, label):
+def _run_schedule(fp, load_steps, label, host_driver=False):
+    """host_driver=True runs one Newton iteration per device execution
+    (with Eisenstat-Walker CG forcing) — required at large mesh sizes,
+    where a fused multi-Newton execution exceeds the TPU tunnel's
+    per-execution time limit."""
     import jax
 
+    step = fp.run_step_host if host_driver else fp.run_step
+
     Du, sig = fp.zero_state()
-    Du_w, sig_w, *_ = fp.run_step(Du, sig, float(load_steps[0]))  # warmup/compile
+    Du_w, sig_w, *_ = step(Du, sig, float(load_steps[0]))  # warmup/compile
     jax.block_until_ready((Du_w, sig_w))
 
     Du, sig = fp.zero_state()
     newton_total = 0
     t0 = time.perf_counter()
     for i, load in enumerate(load_steps):
-        Du, sig, norm, its, cg = fp.run_step(Du, sig, float(load))
+        Du, sig, norm, its, cg = step(Du, sig, float(load))
         newton_total += int(its)
         if i % 10 == 0:
             _log(f"  {label} step {i}: load={load:.2f} newton={int(its)} cg={int(cg)} norm={float(norm):.2e}")
@@ -141,10 +147,10 @@ def main():
 
     _log("bench: scaling curve (cg path, sorted kernel)...")
     scaling = {}
-    short = full_schedule[:6]
+    short = full_schedule[:3]
     for nx in (50, 100):
         fp = _build_fused(mat, nx, nx, "cg", sorted_chunk=8192)
-        r = _run_schedule(fp, short, f"tpu-{nx}x{nx}")
+        r = _run_schedule(fp, short, f"tpu-{nx}x{nx}", host_driver=True)
         r["kernel_pts_per_s"] = round(
             _kernel_throughput(mat, accel, fp.nc * fp.nq, reps=5, sorted_chunk=8192), 1)
         scaling[f"{nx}x{nx}"] = r

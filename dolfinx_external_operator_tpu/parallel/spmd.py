@@ -219,14 +219,14 @@ class FusedPlasticityStep:
 
     def _build_step(self):
         constitutive, residual, tangent_matvec, tangent_diag = self._local_ops()
-        atol, rtol, max_it = self.newton_atol, self.newton_rtol, self.newton_max_it
-        cg_rtol, cg_maxiter = self.cg_rtol, self.cg_maxiter
+        atol, rtol = self.newton_atol, self.newton_rtol
+        cg_maxiter = self.cg_maxiter
         dm = self.device_mesh
 
         def apply_bc_res(st, r, Du):
             return jnp.where(st["bc_mask"], Du - st["bc_vals"], r)
 
-        def cg_solve(st, C_tang, b, psum, maxiter=None):
+        def cg_solve(st, C_tang, b, psum, cg_rtol, maxiter=None):
             if maxiter is None:
                 maxiter = cg_maxiter
             mask = st["bc_mask"]
@@ -313,7 +313,7 @@ class FusedPlasticityStep:
                 y = y + solve32(bs - Ks @ y)
             return y * d, jnp.asarray(0)
 
-        def one_step_core(st, Du, sigma_n, load, psum):
+        def one_step_core(st, Du, sigma_n, load, max_it, cg_rtol, psum):
             """Full Newton solve of one load step; returns converged state.
 
             Do-while structure: the constitutive kernel + residual appear
@@ -343,7 +343,7 @@ class FusedPlasticityStep:
                     dx, cg_k = dense_solve(st, C_tang, -r, psum)
                 else:
                     # masked maxiter: a converged iterate runs 0 CG iterations
-                    dx, cg_k = cg_solve(st, C_tang, -r, psum,
+                    dx, cg_k = cg_solve(st, C_tang, -r, psum, cg_rtol,
                                         maxiter=jnp.where(conv, 0, cg_maxiter))
                 Du = jnp.where(conv, Du, Du + dx)
                 it = it + jnp.where(conv, 0, 1)
@@ -355,8 +355,8 @@ class FusedPlasticityStep:
             return Du, sigma, norm, it, cg_tot
 
         if dm is None:
-            def step(st, Du, sigma_n, load):
-                return one_step_core(st, Du, sigma_n, load, lambda x: x)
+            def step(st, Du, sigma_n, load, max_it, cg_rtol):
+                return one_step_core(st, Du, sigma_n, load, max_it, cg_rtol, lambda x: x)
 
             return jax.jit(step)
 
@@ -368,11 +368,11 @@ class FusedPlasticityStep:
 
         @partial(
             shard_map, mesh=dm,
-            in_specs=(st_spec, P(), P("cells"), P()),
+            in_specs=(st_spec, P(), P("cells"), P(), P(), P()),
             out_specs=(P(), P("cells"), P(), P(), P()),
         )
-        def sharded_step(st, Du, sigma_n, load):
-            return one_step_core(st, Du, sigma_n, load, psum)
+        def sharded_step(st, Du, sigma_n, load, max_it, cg_rtol):
+            return one_step_core(st, Du, sigma_n, load, max_it, cg_rtol, psum)
 
         return jax.jit(sharded_step)
 
@@ -380,7 +380,45 @@ class FusedPlasticityStep:
     def run_step(self, Du, sigma_n, load):
         """One load step: (Du, sigma_n (nc_pad, nq, 4), load scalar) ->
         (Du_new, sigma (nc_pad, nq, 4), residual_norm, newton_its, cg_its)."""
-        return self._step(self.statics, Du, sigma_n, jnp.asarray(load, _F))
+        return self._step(self.statics, Du, sigma_n, jnp.asarray(load, _F),
+                          jnp.asarray(self.newton_max_it), jnp.asarray(self.cg_rtol, _F))
+
+    def run_step_host(self, Du, sigma_n, load, forcing=True):
+        """One load step with a HOST-driven Newton loop: each device
+        execution performs exactly ONE Newton iteration (the same compiled
+        program as ``run_step``, called with ``max_it = 0``).
+
+        Two reasons to prefer this at scale: (a) single device executions
+        stay short — this machine's TPU tunnel kills executions beyond
+        ~60 s, which a fused multi-Newton step with thousands of CG
+        iterations exceeds; (b) ``forcing=True`` applies Eisenstat-Walker
+        inexact-Newton CG tolerances (loose solves far from the root,
+        ``cg_rtol`` for the endgame), typically halving total CG work.
+        The host round-trip per Newton iteration (~30 ms) is negligible
+        against the multi-second solves this path targets."""
+        zero_it = jnp.asarray(0)
+        load = jnp.asarray(load, _F)
+        its_total = 0
+        cg_total = 0
+        norm0 = None
+        norm = None
+        sigma = sigma_n
+        for _ in range(self.newton_max_it + 1):
+            if forcing and norm0 is not None and norm is not None and norm0 > 0:
+                eta = float(np.sqrt(max(min(norm / norm0, 1.0), 0.0)))
+                rtol_eff = max(min(0.1, eta), self.cg_rtol)
+            else:
+                rtol_eff = min(1e-2, max(self.cg_rtol, 1e-6)) if forcing else self.cg_rtol
+            Du, sigma, norm_j, its, cg = self._step(
+                self.statics, Du, sigma_n, load, zero_it, jnp.asarray(rtol_eff, _F))
+            norm = float(norm_j)
+            its_total += int(its)
+            cg_total += int(cg)
+            if norm0 is None:
+                norm0 = norm
+            if int(its) == 0:  # body found the iterate converged: no update
+                break
+        return Du, sigma, norm_j, jnp.asarray(its_total), jnp.asarray(cg_total)
 
     def zero_state(self):
         sig = jnp.zeros((self.nc_pad, self.nq, 4), _F)
