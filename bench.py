@@ -64,7 +64,7 @@ def _kernel_throughput(mat, device, n_points, reps, sorted_chunk=None):
     return n_points / dt
 
 
-def _build_fused(mat, Nx, Ny, linear_solver, sorted_chunk=None):
+def _build_fused(mat, Nx, Ny, linear_solver, sorted_chunk=None, **fp_kwargs):
     from dolfinx_external_operator_tpu import locate_dofs_geometrical
     from dolfinx_external_operator_tpu.models.mohr_coulomb import build_slope_problem
     from dolfinx_external_operator_tpu.parallel.spmd import FusedPlasticityStep
@@ -81,7 +81,8 @@ def _build_fused(mat, Nx, Ny, linear_solver, sorted_chunk=None):
 
     bk = mat.batched_kernel_sorted(sorted_chunk) if sorted_chunk else None
     return FusedPlasticityStep(mesh, V, S, kernel, bc_dofs,
-                               linear_solver=linear_solver, batched_kernel=bk)
+                               linear_solver=linear_solver, batched_kernel=bk,
+                               **fp_kwargs)
 
 
 def _run_schedule(fp, load_steps, label, host_driver=False):
@@ -148,8 +149,10 @@ def main():
     _log("bench: scaling curve (cg path, sorted kernel)...")
     scaling = {}
     short = full_schedule[:3]
-    for nx in (50, 100):
-        fp = _build_fused(mat, nx, nx, "cg", sorted_chunk=8192)
+    # cg_maxiter bounds each device execution below the tunnel's
+    # per-execution time limit (capped-CG inexact Newton)
+    for nx, cg_cap in ((50, 2500), (100, 1200)):
+        fp = _build_fused(mat, nx, nx, "cg", sorted_chunk=8192, cg_maxiter=cg_cap)
         r = _run_schedule(fp, short, f"tpu-{nx}x{nx}", host_driver=True)
         r["kernel_pts_per_s"] = round(
             _kernel_throughput(mat, accel, fp.nc * fp.nq, reps=5, sorted_chunk=8192), 1)
