@@ -83,3 +83,36 @@ def test_dryrun_entry_points():
     jax.block_until_ready(out)
     assert int(out[3]) >= 1
     ge.dryrun_multichip(8)
+
+
+def test_host_driven_newton_matches_fused():
+    """run_step_host (one Newton iteration per device execution, E-W CG
+    forcing) reaches the same converged state as the fused driver."""
+    import jax.numpy as jnp
+
+    from dolfinx_external_operator_tpu import locate_dofs_geometrical
+    from dolfinx_external_operator_tpu.models.mohr_coulomb import build_slope_problem
+    from dolfinx_external_operator_tpu.parallel.spmd import FusedPlasticityStep
+
+    P = build_slope_problem(Nx=4, Ny=4)
+    mat, mesh, V, S = P["material"], P["mesh"], P["V"], P["S"]
+    bottom = locate_dofs_geometrical(V, lambda x: np.isclose(x[1], 0.0))
+    right = locate_dofs_geometrical(V, lambda x: np.isclose(x[0], 1.2))
+    bc_dofs = np.concatenate([np.concatenate([s * 2, s * 2 + 1]) for s in (bottom, right)])
+
+    def kernel(deps, sn):
+        C_tang, state = mat.tangent_stress_point(deps, sn)
+        return C_tang, state[0]
+
+    fp = FusedPlasticityStep(mesh, V, S, kernel, bc_dofs, linear_solver="cg")
+    results = {}
+    for name, step in (("fused", fp.run_step), ("host", fp.run_step_host)):
+        Du, sig = fp.zero_state()
+        for load in (2.0, 8.0):
+            Du, sig, norm, its, cg = step(Du, sig, load)
+        results[name] = (np.asarray(Du), float(norm))
+        assert float(norm) < 1e-7, (name, float(norm))
+
+    du_f, du_h = results["fused"][0], results["host"][0]
+    err = np.abs(du_f - du_h).max() / max(np.abs(du_f).max(), 1e-30)
+    assert err < 1e-6, err
