@@ -196,8 +196,11 @@ class NewtonSolver:
       2. assemble residual; apply BC lifting and ``set_bc`` rows;
       3. check ||r|| against atol/rtol (SNES default norm);
       4. assemble Jacobian, eliminate BC rows/cols symmetrically;
-      5. solve J delta = -r (direct, f32 LU + f64 refinement) and take the
-         full step (``snes_linesearch_type: basic``).
+      5. solve J delta = -r and take the full step
+         (``snes_linesearch_type: basic``).  Linear solvers by
+         ``ksp_type``: "preonly"/"lu" = dense direct (f32 LU + f64
+         refinement); "cg"/"gmres"/"bicgstab" = matrix-free
+         element-by-element Krylov with Jacobi preconditioning.
     """
 
     def __init__(self, atol=1e-8, rtol=1e-8, max_it=100, monitor=False,
