@@ -16,8 +16,14 @@ Extras:
 - ``e2e_slope_stability_25x25``: the full 52-step schedule on the
   reference's mesh, on TPU AND on the host CPU through the SAME fused
   pipeline — an honest end-to-end hardware ratio.
-- ``scaling``: per-step wall time + kernel throughput at 50x50 and 100x100
-  meshes (matrix-free CG path), the pts/s-vs-size curve.
+- ``scaling``: per-step wall time + kernel throughput at 50x50, 100x100
+  and 200x200 meshes through the fused AMG-preconditioned-CG path
+  (parallel/mg.py — the MUMPS-LU replacement), the cost-vs-size curve.
+
+CPU-baseline caveat (printed in the JSON as ``cpu_baseline_note``): the
+reference's own stack (dolfinx+PETSc/MUMPS) is not installed on this
+machine, so the CPU numbers time the SAME JAX pipeline on the host CPU —
+a hardware ratio at equal algorithmic footing, not a cross-framework one.
 """
 
 import json
@@ -137,23 +143,21 @@ def main():
     _log(f"bench: CPU {cpu_pps:.3e} pts/s; e2e 25x25 on TPU...")
 
     full_schedule = np.concatenate([np.linspace(2, 22.9, 50), np.array([22.96, 22.99])])
-    fp_tpu = _build_fused(mat, 25, 25, "dense")
+    fp_tpu = _build_fused(mat, 25, 25, "mg")
     e2e_tpu = _run_schedule(fp_tpu, full_schedule, "tpu-25x25")
 
     _log("bench: e2e 25x25 on host CPU (same pipeline)...")
     with jax.default_device(cpu):
-        fp_cpu = _build_fused(mat, 25, 25, "dense")
+        fp_cpu = _build_fused(mat, 25, 25, "mg")
         e2e_cpu = _run_schedule(fp_cpu, full_schedule, "cpu-25x25")
     e2e_ratio = e2e_cpu["wall_s"] / e2e_tpu["wall_s"]
 
-    _log("bench: scaling curve (cg path, sorted kernel)...")
+    _log("bench: scaling curve (fused AMG-CG path, sorted kernel)...")
     scaling = {}
     short = full_schedule[:3]
-    # cg_maxiter bounds each device execution below the tunnel's
-    # per-execution time limit (capped-CG inexact Newton)
-    for nx, cg_cap in ((50, 2500), (100, 1200)):
-        fp = _build_fused(mat, nx, nx, "cg", sorted_chunk=8192, cg_maxiter=cg_cap)
-        r = _run_schedule(fp, short, f"tpu-{nx}x{nx}", host_driver=True)
+    for nx in (50, 100, 200):
+        fp = _build_fused(mat, nx, nx, "mg", sorted_chunk=8192)
+        r = _run_schedule(fp, short, f"tpu-{nx}x{nx}")
         r["kernel_pts_per_s"] = round(
             _kernel_throughput(mat, accel, fp.nc * fp.nq, reps=5, sorted_chunk=8192), 1)
         scaling[f"{nx}x{nx}"] = r
@@ -171,6 +175,10 @@ def main():
                 "e2e_cpu_same_pipeline": e2e_cpu,
                 "e2e_tpu_vs_cpu": round(e2e_ratio, 2),
                 "scaling": scaling,
+                "cpu_baseline_note": (
+                    "reference stack (dolfinx+PETSc/MUMPS) not installed on "
+                    "this machine; CPU numbers run the SAME JAX pipeline on "
+                    "host CPU (equal algorithmic footing, hardware ratio)"),
             }
         )
     )

@@ -712,9 +712,11 @@ def locate_dofs_topological(V, dim, entities) -> np.ndarray:
                     e = edge_lookup.get((vs[a], vs[b]))
                     if e is not None:
                         sdofs.update(range(base + e * ne, base + (e + 1) * ne))
-    if counts.get("face", 0):
+    nf = counts.get("face", 0)
+    if nf:
         base = offs["face"]
-        sdofs.update((base + entities.astype(np.int64)).tolist())
+        for f in entities.astype(np.int64).tolist():
+            sdofs.update(range(base + f * nf, base + (f + 1) * nf))
     sdofs = np.array(sorted(sdofs), dtype=np.int64)
     if comp is None:
         return sdofs

@@ -114,13 +114,10 @@ def _lagrange_nodes(cell_type: str, degree: int):
         else:
             ij = [(i, j) for i in range(1, n) for j in range(1, n)]
         counts["face"] = len(ij)
-        if counts["face"] > 1:
-            # >1 face dof needs orientation permutations between the two
-            # incident cells (tet degree >= 4, hex degree >= 3)
-            raise NotImplementedError(
-                f"3D Lagrange degree {n} on {cell_type}: {counts['face']} dofs per "
-                "face require face-orientation permutations (supported: tet <= 3, hex <= 2)"
-            )
+        # >1 face dof: the two incident cells see the face lattice in
+        # different local frames; FunctionSpace._build_dofmap applies the
+        # canonical (global-vertex-id-ordered) permutation per cell/facet
+        # (see ``face_dof_permutations``) so both agree on the numbering
         for f in CELL_FACETS[cell_type]:
             fv = verts[list(f)]
             # both face types use the (v0; v1-v0, v2-v0) local frame
@@ -153,6 +150,61 @@ def _lagrange_nodes(cell_type: str, degree: int):
     if interior:
         nodes.append(np.asarray(interior, dtype=float))
     return np.concatenate(nodes, axis=0), counts
+
+
+def face_lattice(cell_type: str, degree: int):
+    """Face-interior lattice of a degree-n Lagrange element, in the local
+    enumeration order used by ``_lagrange_nodes`` (the (i, j) coefficients
+    of the (fv0; fv1-fv0, fv2-fv0) face frame)."""
+    n = int(degree)
+    if cell_type == "tetrahedron":
+        return [(i, j) for i in range(1, n) for j in range(1, n - i)]
+    return [(i, j) for i in range(1, n) for j in range(1, n)]
+
+
+def face_dof_permutations(cell_type: str, degree: int, cells: np.ndarray) -> np.ndarray:
+    """(n_cells, n_local_facets, nf) canonical face-dof position for each
+    local face-lattice node — the role of DOLFINx/Basix dof permutations
+    for face-interior dofs (consumed by Basix-tabulated elements in the
+    reference, ``external_operator.py:33-45``).
+
+    Canonical numbering of a face's interior dofs: the lattice expressed in
+    the frame ordered by GLOBAL vertex ids (triangle faces: barycentric
+    components sorted by id; quad faces: s-axis toward the lower-id
+    neighbor of the lowest-id corner), so the two incident cells agree."""
+    n = int(degree)
+    ij = face_lattice(cell_type, n)
+    idx2d = np.full((n, n), -1, dtype=np.int64)
+    for k, (i, j) in enumerate(ij):
+        idx2d[i, j] = k
+    local_facets = CELL_FACETS[cell_type]
+    nc = cells.shape[0]
+    out = np.empty((nc, len(local_facets), len(ij)), dtype=np.int64)
+    for fi, f in enumerate(local_facets):
+        gv = cells[:, list(f)].astype(np.int64)  # (nc, 3|4) global vertex ids
+        if cell_type == "tetrahedron":
+            order = np.argsort(gv, axis=1)  # ascending-id positions
+            for k, (i, j) in enumerate(ij):
+                bar = np.array([n - i - j, i, j])  # barycentric * n, local order
+                out[:, fi, k] = idx2d[bar[order[:, 1]], bar[order[:, 2]]]
+        else:
+            # quad face, tensor vertex order: v0,v1 span s; v0,v2 span t
+            corner_st = np.array([[0, 0], [1, 0], [0, 1], [1, 1]])
+            nbr = np.array([[1, 2], [0, 3], [0, 3], [1, 2]])
+            w0 = np.argmin(gv, axis=1)
+            na, nb = nbr[w0, 0], nbr[w0, 1]
+            ga = np.take_along_axis(gv, na[:, None], 1)[:, 0]
+            gb = np.take_along_axis(gv, nb[:, None], 1)[:, 0]
+            w1 = np.where(ga < gb, na, nb)
+            s0, t0 = corner_st[w0].T
+            s1, _ = corner_st[w1].T
+            w1_along_s = s1 != s0  # else w1 lies along the t-axis from w0
+            for k, (i, j) in enumerate(ij):
+                sp = np.where(w1_along_s, np.abs(i - s0 * n), np.abs(j - t0 * n))
+                tp = np.where(w1_along_s, np.abs(j - t0 * n), np.abs(i - s0 * n))
+                out[:, fi, k] = idx2d[sp, tp]
+    assert (out >= 0).all()
+    return out
 
 
 class Element:

@@ -337,8 +337,10 @@ def evaluate_operands(external_operators, entities=None):
     Rebuild of reference ``evaluate_operands`` (``external_operator.py:338-404``):
     per-operand compiled ``Expression`` objects are cached on the operator;
     nested external-operator operands recurse.  ``entities`` restricts the
-    cell set (codim-0 submesh case; for codim-1 use the facet-space pipeline
-    in ``codim.py``).
+    cell set (codim-0 submesh case; for codim-1 build the operator on a
+    facet ``mesh.Submesh`` quadrature space — the operand pipeline in
+    ``expression.py`` handles the ``(parent_cell, local_facet)`` entity
+    maps, see ``tests/test_codim.py``).
 
     Returns a dict mapping operand -> jnp array of shape
     (n_cells, n_pts) or (n_cells, n_pts, value_size).

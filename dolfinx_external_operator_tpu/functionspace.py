@@ -123,12 +123,22 @@ class FunctionSpace:
             offset += mesh.num_edges * ne
         nf = counts.get("face", 0)
         if nf > 0:
-            # single face dof (tet P3 / hex Q2): orientation-free
-            assert nf == 1, "multi-dof faces need orientation permutations"
             self._entity_offsets["face"] = offset
             cf = mesh.cell_facets.astype(np.int64)  # (ncells, n_local_facets)
-            parts.append(offset + cf)
-            offset += mesh.num_facets
+            if nf == 1:
+                # single face dof (tet P3 / hex Q2): orientation-free
+                parts.append(offset + cf)
+            else:
+                # face-interior lattices (tet >= P4, hex >= Q3): map each
+                # cell's local lattice position to the face's CANONICAL
+                # (global-vertex-id-ordered) numbering so the incident
+                # cells share dofs consistently
+                from .elements import face_dof_permutations
+
+                perm = face_dof_permutations(mesh.cell_type, el.degree, mesh.cells)
+                fd = offset + cf[:, :, None] * nf + perm
+                parts.append(fd.reshape(mesh.num_cells, -1))
+            offset += mesh.num_facets * nf
         if counts["cell"] > 0:
             nc = counts["cell"]
             self._entity_offsets["cell"] = offset

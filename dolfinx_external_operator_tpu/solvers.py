@@ -23,6 +23,8 @@ TPU-native equivalents here:
 from __future__ import annotations
 
 
+import numpy as np
+
 import jax
 import jax.numpy as jnp
 
@@ -204,7 +206,8 @@ class NewtonSolver:
     """
 
     def __init__(self, atol=1e-8, rtol=1e-8, max_it=100, monitor=False,
-                 ksp_type="preonly", ksp_rtol=1e-12, ksp_atol=0.0, ksp_max_it=None):
+                 ksp_type="preonly", ksp_rtol=1e-12, ksp_atol=0.0, ksp_max_it=None,
+                 pc_type="jacobi"):
         self.atol = atol
         self.rtol = rtol
         self.max_it = max_it
@@ -213,8 +216,63 @@ class NewtonSolver:
         self.ksp_rtol = ksp_rtol
         self.ksp_atol = ksp_atol
         self.ksp_max_it = ksp_max_it
+        # "jacobi" (default) or "mg" (aggregation-AMG V-cycle, cg only —
+        # the scalable option; the reference's {"pc_type": "lu"} maps to
+        # ksp_type "preonly")
+        self.pc_type = pc_type
         self.iterations = 0
         self.ksp_iterations = 0
+        self._mg = None  # lazily-built (statics, jitted solver) pair
+
+    def _mg_solve(self, problem, elems, mask, b, maxiter):
+        """AMG-preconditioned CG on the element-blocked Jacobian (general
+        forms path; see ``parallel.mg`` for the fused-plasticity variant).
+
+        The hierarchy STRUCTURE is built once per problem from the Jacobian
+        at the first call (u = initial guess => the elastic operator for the
+        usual zero start); per-Newton VALUES flow through the fixed maps.
+        Requires a single cell-integral batch with test dofs == trial dofs
+        (the symmetric displacement-block case, e.g. hyperelasticity)."""
+        from .parallel import mg as mgmod
+
+        if len(elems) != 1:
+            raise NotImplementedError(
+                "pc_type='mg' supports a single cell-integral batch; this "
+                f"Jacobian has {len(elems)} (use pc_type='jacobi')")
+        K_cell, tdofs, udofs = elems[0]
+        if self._mg is None:
+            V = problem.J.test_space
+            assert bool(jnp.all(tdofs == udofs)), "mg needs test dofs == trial dofs"
+            statics_np = mgmod.build_mg_statics(
+                problem.J.mesh, V, np.asarray(mask), np.asarray(K_cell))
+            cheb_degree = statics_np.pop("cheb_degree")
+            statics = jax.tree.map(jnp.asarray, statics_np)
+            n = V.num_dofs
+
+            @jax.jit
+            def mg_pcg(K_cell, b, rtol, atol, maxiter):
+                km = jnp.where(mask, 0.0, 1.0)[tdofs]
+                Kb = K_cell * km[:, :, None] * km[:, None, :]
+                rt = mgmod.mg_setup(statics, Kb.astype(_F32), tdofs, mask, n)
+
+                def mv(x):
+                    xz = jnp.where(mask, 0.0, x)
+                    y = jnp.einsum("cab,cb->ca", Kb, xz[tdofs])
+                    out = jax.ops.segment_sum(y.ravel(), tdofs.ravel(),
+                                              num_segments=n)
+                    return jnp.where(mask, x, out)
+
+                def M(r):
+                    z = mgmod.vcycle(statics, rt,
+                                     jnp.where(mask, 0.0, r).astype(_F32),
+                                     cheb_degree=cheb_degree).astype(_F64)
+                    return jnp.where(mask, r, z)
+
+                # the shared safeguarded PCG (breakdown + divergence guards)
+                return cg(mv, b, M=M, tol=rtol, atol=atol, maxiter=maxiter)
+
+            self._mg = mg_pcg
+        return self._mg(K_cell, b, self.ksp_rtol, self.ksp_atol, maxiter)
 
     def solve(self, problem) -> tuple[int, bool]:
         u = problem.u
@@ -244,6 +302,10 @@ class NewtonSolver:
                 # PETSc KSP default maxits parity (10000); the breakdown
                 # guard in _ebe_pcg exits earlier at the rounding floor
                 maxiter = self.ksp_max_it if self.ksp_max_it is not None else min(10 * n, 10000)
+                if self.ksp_type == "cg" and self.pc_type == "mg":
+                    delta, k = self._mg_solve(problem, elems, mask, -r, maxiter)
+                    self.ksp_iterations += int(k)
+                    return delta
                 if self.ksp_type == "cg":
                     delta, k = _ebe_pcg(
                         tuple(e for e, _, _ in elems),
@@ -266,7 +328,11 @@ class NewtonSolver:
                         out = out + jax.ops.segment_sum(y.ravel(), td.ravel(), num_segments=n)
                     return jnp.where(free, out, 0.0) + jnp.where(mask, x, 0.0)
 
-                M = lambda x: x / diag
+                # same zero-diagonal guard as _ebe_pcg: gmres/bicgstab target
+                # non-symmetric/indefinite systems where a zero diagonal entry
+                # is plausible
+                dsafe = jnp.where(jnp.abs(diag) > 1e-300, diag, 1.0)
+                M = lambda x: x / dsafe
                 if self.ksp_type == "gmres":
                     delta, _ = jsla.gmres(matvec, -r, M=M, tol=self.ksp_rtol,
                                           atol=self.ksp_atol, maxiter=maxiter,
@@ -336,6 +402,7 @@ class NonlinearProblem:
             ksp_rtol=float(opts.get("ksp_rtol", 1e-12)),
             ksp_atol=float(opts.get("ksp_atol", 0.0)),
             ksp_max_it=(int(opts["ksp_max_it"]) if "ksp_max_it" in opts else None),
+            pc_type=str(opts.get("pc_type", "jacobi")),
         )
         self.external_callback = external_callback
         self.callback_args = tuple(callback_args)

@@ -17,11 +17,19 @@ _DEFAULT = os.path.join(os.path.dirname(os.path.dirname(os.path.dirname(__file__
 _enabled = False
 
 
-def enable_persistent_cache(path: str | None = None) -> str:
-    """Point JAX at an on-disk compilation cache (idempotent).
+def _user_cache_dir() -> str:
+    base = os.environ.get("XDG_CACHE_HOME") or os.path.join(os.path.expanduser("~"), ".cache")
+    return os.path.join(base, "dolfinx_external_operator_tpu", "jax_cache")
+
+
+def enable_persistent_cache(path: str | None = None) -> str | None:
+    """Point JAX at an on-disk compilation cache (idempotent, best-effort).
 
     Honors an existing ``JAX_COMPILATION_CACHE_DIR`` env var / jax.config
-    setting; defaults to ``<repo>/.jax_cache``."""
+    setting; defaults to ``<repo>/.jax_cache``, falling back to a
+    user-writable ``~/.cache`` directory (read-only installs: site-packages,
+    containers).  Never raises — on total failure the package imports fine
+    with the persistent cache simply disabled."""
     global _enabled
     import jax
 
@@ -33,7 +41,22 @@ def enable_persistent_cache(path: str | None = None) -> str:
         or jax.config.jax_compilation_cache_dir
         or _DEFAULT
     )
-    os.makedirs(target, exist_ok=True)
+    try:
+        os.makedirs(target, exist_ok=True)
+    except OSError:
+        target = _user_cache_dir()
+        try:
+            os.makedirs(target, exist_ok=True)
+        except OSError:
+            import warnings
+
+            warnings.warn(
+                "dolfinx_external_operator_tpu: no writable location for the "
+                "persistent XLA compilation cache; continuing without one "
+                "(cold TPU compiles of the fused step take minutes)",
+                stacklevel=2,
+            )
+            return None
     jax.config.update("jax_compilation_cache_dir", target)
     # cache every nontrivial program: the default 1s floor skips small
     # kernels whose recompiles still add up across a 100-step demo

@@ -35,14 +35,42 @@ def test_interpolation_exactness_2d(cell, deg):
     assert np.abs(np.asarray(u.data) - f(_dof_x3(V))).max() < 1e-12
 
 
-@pytest.mark.parametrize("cell,deg", [("tetrahedron", 3), ("hexahedron", 2)])
+@pytest.mark.parametrize("cell,deg", [("tetrahedron", 3), ("hexahedron", 2),
+                                      ("tetrahedron", 4), ("hexahedron", 3),
+                                      ("tetrahedron", 5)])
 def test_interpolation_exactness_3d(cell, deg):
+    """Degrees >= 4 (tet) / >= 3 (hex) exercise multi-dof face-interior
+    lattices with the canonical orientation permutations."""
     mesh = fem.create_unit_cube(2, 2, 2, cell)
     V = fem.functionspace(mesh, ("Lagrange", deg))
     u = fem.Function(V)
     f = lambda x: x[0] * x[1] + x[2] ** 2
     u.interpolate(f)
     assert np.abs(np.asarray(u.data) - f(_dof_x3(V))).max() < 1e-12
+
+
+@pytest.mark.parametrize("cell,deg", [("tetrahedron", 4), ("hexahedron", 3)])
+def test_face_dof_count_and_sharing(cell, deg):
+    """Shared-face dofs are counted once: total dofs follow the Euler
+    entity sum (a wrong face permutation cannot break this, but duplicated
+    or missing face dofs would)."""
+    mesh = fem.create_unit_cube(2, 2, 2, cell)
+    V = fem.functionspace(mesh, ("Lagrange", deg))
+    counts = V.element.entity_counts
+    expected = (mesh.num_vertices + mesh.num_edges * counts["edge"]
+                + mesh.num_facets * counts["face"] + mesh.num_cells * counts["cell"])
+    assert V.num_dofs == expected
+    # each global face dof is referenced by exactly the face's incident cells
+    dm = V.dofmap
+    base = V._entity_offsets["face"]
+    nfd = counts["face"]
+    face_dofs = dm[(dm >= base) & (dm < base + mesh.num_facets * nfd)]
+    counts_per_dof = np.bincount(face_dofs - base, minlength=mesh.num_facets * nfd)
+    per_face = counts_per_dof.reshape(mesh.num_facets, nfd)
+    # interior faces are seen by 2 cells, boundary faces by 1 — uniformly
+    # across each face's lattice (a permutation bug would skew this)
+    assert set(np.unique(per_face).tolist()) <= {1, 2}
+    assert (per_face == per_face[:, :1]).all()
 
 
 @pytest.mark.parametrize("cell", ["triangle", "quadrilateral"])
@@ -67,9 +95,14 @@ def test_laplace_exactness_2d(cell, deg):
     assert np.abs(np.asarray(u.data) - ex(x3)).max() < 1e-8
 
 
-@pytest.mark.parametrize("cell,deg", [("tetrahedron", 3), ("hexahedron", 2)])
+@pytest.mark.parametrize("cell,deg", [("tetrahedron", 3), ("hexahedron", 2),
+                                      ("tetrahedron", 4), ("hexahedron", 3)])
 def test_laplace_exactness_3d(cell, deg):
-    """Face-dof (tet P3 / hex Q2) assembly correctness."""
+    """Face-dof assembly correctness.  The degree >= 4 / >= 3 cases solve a
+    polynomial-exact Laplace problem whose accuracy REQUIRES consistent
+    face-interior dof orientation between the two incident cells (the
+    Basix-permutation capability the reference relies on,
+    ``external_operator.py:33-45``)."""
     mesh = fem.create_unit_cube(2, 2, 2, cell)
     V = fem.functionspace(mesh, ("Lagrange", deg))
     u = fem.Function(V)
@@ -140,8 +173,10 @@ def test_external_operator_on_p4_operand():
     np.testing.assert_allclose(np.asarray(b), np.asarray(b_tw), rtol=0, atol=1e-12)
 
 
-def test_unsupported_3d_face_multiplicity_raises():
-    with pytest.raises(NotImplementedError):
-        fem.element("Lagrange", "tetrahedron", 4)
-    with pytest.raises(NotImplementedError):
-        fem.element("Lagrange", "hexahedron", 3)
+def test_high_order_3d_face_elements_construct():
+    """tet P4+ / hex Q3+ (multi-dof faces) construct with the expected
+    entity layout — the former NotImplementedError gap is closed."""
+    e = fem.element("Lagrange", "tetrahedron", 4)
+    assert e.entity_counts["face"] == 3 and e.num_scalar_dofs == 35
+    e = fem.element("Lagrange", "hexahedron", 3)
+    assert e.entity_counts["face"] == 4 and e.num_scalar_dofs == 64

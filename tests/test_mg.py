@@ -1,0 +1,176 @@
+"""Multigrid-preconditioned CG (parallel/mg.py): the MUMPS-LU replacement.
+
+Oracles:
+- Galerkin exactness: device-computed coarse ELL values == scipy P^T K P.
+- Solver parity: the fused Mohr-Coulomb step with ``linear_solver="mg"``
+  reproduces the direct-solve path's iterates (Newton counts AND Du) —
+  the reference's direct-LU behavior (``demo_plasticity_mohr_coulomb.py:662``).
+- Preconditioner linearity: the V/W-cycle is a FIXED linear operator (a CG
+  requirement; Chebyshev degrees are static, the coarse LU is exact).
+- Sharded parity: 8-device shard_map run matches single-device.
+"""
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+import dolfinx_external_operator_tpu as fem
+from dolfinx_external_operator_tpu import locate_dofs_geometrical
+from dolfinx_external_operator_tpu.models.mohr_coulomb import (
+    MohrCoulombMaterial,
+    build_slope_problem,
+)
+from dolfinx_external_operator_tpu.parallel import mg as mgmod
+from dolfinx_external_operator_tpu.parallel.spmd import FusedPlasticityStep, make_device_mesh
+
+jax.config.update("jax_enable_x64", True)
+
+
+def _slope_fixture(Nx=12):
+    mat = MohrCoulombMaterial()
+    P = build_slope_problem(Nx=Nx, Ny=Nx)
+    mesh, V, S = P["mesh"], P["V"], P["S"]
+    bottom = locate_dofs_geometrical(V, lambda x: np.isclose(x[1], 0.0))
+    right = locate_dofs_geometrical(V, lambda x: np.isclose(x[0], 1.2))
+    bc_dofs = np.concatenate([np.concatenate([s * 2, s * 2 + 1]) for s in (bottom, right)])
+
+    def kernel(deps, sn):
+        C_tang, state = mat.tangent_stress_point(deps, sn)
+        return C_tang, state[0]
+
+    return mesh, V, S, kernel, bc_dofs
+
+
+def _run(fp, loads):
+    Du, sig = fp.zero_state()
+    hist = []
+    for load in loads:
+        Du, sig, norm, its, cg = fp.run_step(Du, sig, float(load))
+        hist.append((int(its), int(cg), float(norm)))
+    return np.asarray(Du), hist
+
+
+def test_galerkin_coarse_values_match_scipy():
+    """mg_setup's device-side Galerkin products equal scipy's P^T K P at
+    every level (elastic tangent; f32 tolerances)."""
+    import scipy.sparse as sp
+
+    mesh, V, S, kernel, bc_dofs = _slope_fixture(Nx=8)
+    fp = FusedPlasticityStep(mesh, V, S, kernel, bc_dofs, linear_solver="mg")
+    n = V.num_dofs
+
+    # elastic element blocks (the same ones _setup_mg used)
+    C_el = np.asarray(kernel(jnp.zeros(4), jnp.zeros(4))[0])
+    B_np = np.asarray(fp.statics["B"])[: fp.nc]
+    K_cell = np.einsum("cqik,ij,cqjl,cq->ckl", B_np, C_el, B_np, fp._wdet)
+    keep = ~fp.bc_mask_np
+    dm = np.asarray(V.unrolled_dofmap)
+    km = keep[dm]
+    K_cell_bc = K_cell * km[:, :, None] * km[:, None, :]
+
+    pad = fp.nc_pad - fp.nc
+    K_dev = jnp.asarray(np.pad(K_cell_bc, ((0, pad), (0, 0), (0, 0))), jnp.float32)
+    rt = mgmod.mg_setup(fp.statics["mg"], K_dev, fp.statics["dofmap"],
+                        fp.statics["bc_mask"], n)
+
+    # scipy reference chain
+    K0 = mgmod._eliminate_bc(
+        mgmod._csr_from_blocks(K_cell, dm.astype(np.int64), n), fp.bc_mask_np)
+    P0 = mgmod._p2_to_p1_interpolation(mesh, V.bs, fp.bc_mask_np)
+    K_ref = (P0.T @ K0 @ P0).tocsr()
+    for lvl, vals, t in zip(fp.statics["mg"]["levels"], rt["vals"],
+                            fp.statics["mg"]["transfers"]):
+        cols = np.asarray(lvl["cols"])
+        vals = np.asarray(vals)
+        rows = np.repeat(np.arange(cols.shape[0]), cols.shape[1])
+        got = sp.coo_matrix((vals.ravel(), (rows, cols.ravel())),
+                            shape=K_ref.shape).tocsr()
+        err = abs(got - K_ref).max()
+        scale = abs(K_ref).max()
+        assert err < 5e-6 * scale, f"level mismatch: {err} vs scale {scale}"
+        # rebuild the next reference level from this level's P
+        P_idx, P_w = np.asarray(t["P_idx"]), np.asarray(t["P_w"])
+        del P_idx, P_w
+        if lvl is not fp.statics["mg"]["levels"][-1]:
+            k = fp.statics["mg"]["levels"].index(lvl)
+            t_next = fp.statics["mg"]["transfers"][k + 1]
+            Pi, Pw = np.asarray(t_next["P_idx"]), np.asarray(t_next["P_w"])
+            n_f = Pi.shape[0]
+            n_c = np.asarray(fp.statics["mg"]["levels"][k + 1]["cols"]).shape[0]
+            rP = np.repeat(np.arange(n_f), Pi.shape[1])
+            P_next = sp.coo_matrix((Pw.ravel(), (rP, Pi.ravel())),
+                                   shape=(n_f, n_c)).tocsr()
+            K_ref = (P_next.T @ K_ref @ P_next).tocsr()
+
+
+def test_vcycle_is_linear_operator():
+    mesh, V, S, kernel, bc_dofs = _slope_fixture(Nx=8)
+    fp = FusedPlasticityStep(mesh, V, S, kernel, bc_dofs, linear_solver="mg")
+    n = V.num_dofs
+    C_el = np.asarray(kernel(jnp.zeros(4), jnp.zeros(4))[0])
+    B_np = np.asarray(fp.statics["B"])
+    wdet = np.asarray(fp.statics["wdet"])
+    K_cell = np.einsum("cqik,ij,cqjl,cq->ckl", B_np, C_el, B_np, wdet)
+    keep = np.concatenate([~fp.bc_mask_np, [False]])
+    km = keep[np.asarray(fp.statics["dofmap"])]
+    K_dev = jnp.asarray(K_cell * km[:, :, None] * km[:, None, :], jnp.float32)
+    rt = mgmod.mg_setup(fp.statics["mg"], K_dev, fp.statics["dofmap"],
+                        fp.statics["bc_mask"], n)
+
+    M = jax.jit(lambda r: mgmod.vcycle(fp.statics["mg"], rt, r))
+    rng = np.random.default_rng(3)
+    r1 = jnp.asarray(rng.normal(size=n), jnp.float32)
+    r2 = jnp.asarray(rng.normal(size=n), jnp.float32)
+    lin = M(2.0 * r1 - 3.0 * r2)
+    combo = 2.0 * M(r1) - 3.0 * M(r2)
+    assert np.allclose(np.asarray(lin), np.asarray(combo), rtol=1e-4, atol=1e-4)
+
+
+def test_mg_matches_direct_solve_iterates():
+    """Newton counts identical to the dense-direct path and Du parity —
+    the 'identical Newton iteration counts' BASELINE target, now with the
+    scalable solver."""
+    mesh, V, S, kernel, bc_dofs = _slope_fixture(Nx=12)
+    loads = [2.0, 6.0, 10.0, 14.0]
+    fp_d = FusedPlasticityStep(mesh, V, S, kernel, bc_dofs, linear_solver="dense")
+    Du_d, hist_d = _run(fp_d, loads)
+    fp_m = FusedPlasticityStep(mesh, V, S, kernel, bc_dofs, linear_solver="mg")
+    Du_m, hist_m = _run(fp_m, loads)
+    assert [h[0] for h in hist_d] == [h[0] for h in hist_m]
+    assert np.max(np.abs(Du_d - Du_m)) < 1e-10
+    assert all(h[1] > 0 for h in hist_m[1:])  # CG actually ran
+    # scalable-solver sanity: bounded iteration counts per Newton step
+    for its, cg, _ in hist_m:
+        assert cg <= 60 * max(its, 1)
+
+
+def test_mg_sharded_matches_single_device():
+    devs = jax.devices()
+    if len(devs) < 8:
+        pytest.skip("needs 8 virtual devices")
+    mesh, V, S, kernel, bc_dofs = _slope_fixture(Nx=12)
+    loads = [2.0, 8.0, 14.0]
+    fp_1 = FusedPlasticityStep(mesh, V, S, kernel, bc_dofs, linear_solver="mg")
+    Du_1, hist_1 = _run(fp_1, loads)
+    dm = make_device_mesh(8)
+    fp_8 = FusedPlasticityStep(mesh, V, S, kernel, bc_dofs, linear_solver="mg",
+                               device_mesh=dm)
+    Du_8, hist_8 = _run(fp_8, loads)
+    assert [h[0] for h in hist_1] == [h[0] for h in hist_8]
+    assert np.max(np.abs(Du_1 - Du_8)) < 1e-9
+
+
+def test_mg_forcing_reduces_cg_iterations():
+    """Eisenstat-Walker forcing in the FUSED path (traced per-iteration CG
+    tolerance): large CG savings, possibly a couple extra Newton updates
+    (inexact solves make the first iteration of a linear step inexact)."""
+    mesh, V, S, kernel, bc_dofs = _slope_fixture(Nx=12)
+    loads = [2.0, 6.0, 10.0]
+    fp = FusedPlasticityStep(mesh, V, S, kernel, bc_dofs, linear_solver="mg")
+    Du, hist = _run(fp, loads)
+    fp_f = FusedPlasticityStep(mesh, V, S, kernel, bc_dofs, linear_solver="mg",
+                               fused_forcing=True)
+    Du_f, hist_f = _run(fp_f, loads)
+    assert sum(h[1] for h in hist_f) < sum(h[1] for h in hist)
+    assert np.max(np.abs(Du - Du_f)) < 1e-8  # same converged solution
