@@ -86,8 +86,16 @@ class FusedPlasticityStep:
         self.newton_rtol = newton_rtol
         self.newton_max_it = newton_max_it
         self.cg_rtol = cg_rtol
-        assert linear_solver in ("cg", "dense", "mg")
+        assert linear_solver in ("cg", "dense", "mg", "auto")
+        if linear_solver == "auto":
+            # measured crossover on v5e (NOTES.md round 3): below ~10k dofs
+            # the dense f32 inverse + f64 refinement beats the AMG-CG's
+            # per-iteration op-latency floor; above it, dense memory/inv
+            # costs blow up while AMG stays near mesh-independent
+            linear_solver = "dense" if V.num_dofs <= 10_000 else "mg"
         self.linear_solver = linear_solver
+        # dense-path factorization flavor (A/B'd on TPU; see NOTES.md)
+        self._dense_use_inv = True
         # Eisenstat-Walker forcing inside the FUSED Newton loop: the CG
         # target each iteration is max(cg_rtol, min(cap, sqrt(norm/norm0)))
         # — traced, so the single-execution path gets inexact Newton too.
@@ -366,49 +374,17 @@ class FusedPlasticityStep:
                     y.ravel(), dof.ravel(), num_segments=n_dofs + 1)[:-1])
                 return jnp.where(mask, x, out)
 
-            def M(r):
+            def M32(r):
                 z = _mg.vcycle(st["mg"], rt,
-                               jnp.where(mask, 0.0, r).astype(jnp.float32),
+                               jnp.where(mask, 0.0, r.astype(jnp.float32)),
                                cheb_degree=self._mg_cheb_degree,
-                               gamma_coarse=self._mg_gamma).astype(_F)
+                               gamma_coarse=self._mg_gamma)
                 return jnp.where(mask, r, z)
 
-            # safeguarded PCG (same invariant/breakdown/divergence guards
-            # and best-iterate tracking as cg_solve)
-            x = jnp.zeros_like(b)
-            r = b - mv(x)
-            z = M(r)
-            rz = jnp.vdot(r, z)
-            p = z
-            target = cg_rtol * jnp.sqrt(jnp.vdot(b, b))
-            norm0_cg = jnp.sqrt(jnp.vdot(r, r))
-
-            def cond(sta):
-                x, r, z, p, rz, k, ok, x_best, n_best, n_cur = sta
-                return ok & (n_cur > target) & (k < maxiter)
-
-            def body(sta):
-                x, r, z, p, rz, k, ok, x_best, n_best, n_cur = sta
-                Ap = mv(p)
-                pAp = jnp.vdot(p, Ap)
-                ok = jnp.isfinite(pAp) & (pAp > 0.0) & jnp.isfinite(rz) & (rz > 0.0)
-                alpha = jnp.where(ok, rz / jnp.where(pAp > 0.0, pAp, 1.0), 0.0)
-                x = x + alpha * p
-                r = r - alpha * Ap
-                z = M(r)
-                rz2 = jnp.vdot(r, z)
-                beta = jnp.where(rz > 0.0, rz2 / jnp.where(rz > 0.0, rz, 1.0), 0.0)
-                p = z + beta * p
-                n_new = jnp.sqrt(jnp.vdot(r, r))
-                better = n_new < n_best
-                x_best = jnp.where(better, x, x_best)
-                n_best = jnp.where(better, n_new, n_best)
-                ok = ok & jnp.isfinite(n_new) & (n_new < 100.0 * n_best)
-                return (x, r, z, p, rz2, k + 1, ok, x_best, n_best, n_new)
-
-            sta0 = (x, r, z, p, rz, 0, rz >= 0.0, x, norm0_cg, norm0_cg)
-            out = jax.lax.while_loop(cond, body, sta0)
-            return out[7], out[5]
+            # mixed-precision IR-PCG: the iteration runs entirely in f32
+            # (f64 ops are emulated ~5-10x slower on TPU); the f64 operator
+            # appears once per refinement round (see mg.ir_pcg)
+            return _mg.ir_pcg(mv, rt["mv0"], M32, b, cg_rtol, maxiter)
 
         def dense_solve(st, C_tang, b, psum):
             """Assembled dense tangent + Jacobi-equilibrated f32 LU with f64
@@ -431,11 +407,20 @@ class FusedPlasticityStep:
             K = K * keep32[:, None] * keep32[None, :] + jnp.diag(mask.astype(f32))
             d = 1.0 / jnp.sqrt(jnp.clip(jnp.abs(jnp.diagonal(K)), 1e-30, None).astype(_F))
             Ks32 = K * (d[:, None] * d[None, :]).astype(f32)
-            lu, piv = jax.scipy.linalg.lu_factor(Ks32)
+            if self._dense_use_inv:
+                # explicit inverse applied as matmuls: trades the repeated
+                # row-sequential lu_solve triangular solves of the
+                # refinement loop for one-time inversion cost (same f32
+                # accuracy class; f64 refinement recovers 1e-14 either way)
+                Kinv = jnp.linalg.inv(Ks32)
 
-            def solve32(rr):
-                # rr: f64 unscaled residual -> equilibrated f32 solve -> f64 update
-                return jax.scipy.linalg.lu_solve((lu, piv), (rr * d).astype(f32)).astype(_F) * d
+                def solve32(rr):
+                    return (Kinv @ (rr * d).astype(f32)).astype(_F) * d
+            else:
+                lu, piv = jax.scipy.linalg.lu_factor(Ks32)
+
+                def solve32(rr):
+                    return jax.scipy.linalg.lu_solve((lu, piv), (rr * d).astype(f32)).astype(_F) * d
 
             def mv(x):
                 y = tangent_matvec(st, C_tang, jnp.where(mask, 0.0, x), psum)

@@ -262,14 +262,15 @@ class NewtonSolver:
                                               num_segments=n)
                     return jnp.where(mask, x, out)
 
-                def M(r):
+                def M32(r):
                     z = mgmod.vcycle(statics, rt,
-                                     jnp.where(mask, 0.0, r).astype(_F32),
-                                     cheb_degree=cheb_degree).astype(_F64)
+                                     jnp.where(mask, 0.0, r.astype(_F32)),
+                                     cheb_degree=cheb_degree)
                     return jnp.where(mask, r, z)
 
-                # the shared safeguarded PCG (breakdown + divergence guards)
-                return cg(mv, b, M=M, tol=rtol, atol=atol, maxiter=maxiter)
+                # mixed-precision IR-PCG (f32 iteration, f64 refinement;
+                # see mg.ir_pcg) with the shared safeguard structure
+                return mgmod.ir_pcg(mv, rt["mv0"], M32, b, rtol, maxiter)
 
             self._mg = mg_pcg
         return self._mg(K_cell, b, self.ksp_rtol, self.ksp_atol, maxiter)
