@@ -143,12 +143,12 @@ def main():
     _log(f"bench: CPU {cpu_pps:.3e} pts/s; e2e 25x25 on TPU...")
 
     full_schedule = np.concatenate([np.linspace(2, 22.9, 50), np.array([22.96, 22.99])])
-    fp_tpu = _build_fused(mat, 25, 25, "mg")
+    fp_tpu = _build_fused(mat, 25, 25, "auto")
     e2e_tpu = _run_schedule(fp_tpu, full_schedule, "tpu-25x25")
 
     _log("bench: e2e 25x25 on host CPU (same pipeline)...")
     with jax.default_device(cpu):
-        fp_cpu = _build_fused(mat, 25, 25, "mg")
+        fp_cpu = _build_fused(mat, 25, 25, "auto")
         e2e_cpu = _run_schedule(fp_cpu, full_schedule, "cpu-25x25")
     e2e_ratio = e2e_cpu["wall_s"] / e2e_tpu["wall_s"]
 

@@ -10,8 +10,10 @@ module-scoped scalar type consulted when forms/expressions are compiled:
 * float32 — supported through the evaluate/assemble pipeline via
   ``scalar_type_context``; Newton/Krylov solves stay f64 (they already
   mix precisions deliberately, see ``solvers.py``);
-* complex128 — documented exclusion: XLA:TPU's f64 emulation does not
-  extend to complex arithmetic.
+* complex128 — supported on the CPU backend only (the reference
+  parametrizes its adjoint oracle over it, ``test_multiaction.py:15-23``);
+  on TPU it remains a documented exclusion: XLA:TPU's f64 emulation does
+  not extend to complex arithmetic.
 
 Build AND first-evaluate forms inside the context — jitted kernels bake the
 scalar type at trace time::
@@ -40,11 +42,14 @@ def default_scalar_type():
 def scalar_type_context(dtype):
     """Temporarily set the scalar type used by newly compiled forms,
     expressions, and Functions."""
+    import jax
+
     dtype = jnp.dtype(dtype).type
-    if dtype == jnp.complex128:
+    if dtype == jnp.complex128 and jax.default_backend() != "cpu":
         raise NotImplementedError(
-            "complex128 is a documented exclusion of the TPU build "
-            "(XLA:TPU f64 emulation does not cover complex arithmetic)"
+            "complex128 is supported only on the CPU backend "
+            "(XLA:TPU f64 emulation does not cover complex arithmetic); "
+            'run under jax.config.update("jax_platforms", "cpu")'
         )
     from . import assembly, compile, expression, function
 

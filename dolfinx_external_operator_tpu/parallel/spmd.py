@@ -94,8 +94,10 @@ class FusedPlasticityStep:
             # costs blow up while AMG stays near mesh-independent
             linear_solver = "dense" if V.num_dofs <= 10_000 else "mg"
         self.linear_solver = linear_solver
-        # dense-path factorization flavor (A/B'd on TPU; see NOTES.md)
-        self._dense_use_inv = True
+        # dense-path factorization flavor: lu_factor+lu_solve measured
+        # slightly faster end-to-end than explicit inverse on v5e at 25x25
+        # (99 vs 108 ms/Newton); the inverse variant is kept as an option
+        self._dense_use_inv = False
         # Eisenstat-Walker forcing inside the FUSED Newton loop: the CG
         # target each iteration is max(cg_rtol, min(cap, sqrt(norm/norm0)))
         # — traced, so the single-execution path gets inexact Newton too.

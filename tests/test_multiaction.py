@@ -6,9 +6,9 @@ for adjoint gradients in inverse problems, compared against an analytic
 derivative contraction against a trial function on the parameter space.
 
 Dtype coverage: float64 and float32 with ``50 * eps``-scaled tolerances
-(reference ``test_multiaction.py:15-23,124-125``).  complex128 is a
-documented exclusion of this TPU build (XLA:TPU f64 emulation does not
-extend to c128) — ``scalar_type_context`` raises on it.
+(reference ``test_multiaction.py:15-23,124-125``), plus complex128 on the
+CPU backend (on TPU it stays a documented exclusion — XLA:TPU f64
+emulation does not extend to c128 — and ``scalar_type_context`` raises).
 """
 import numpy as np
 import pytest
@@ -101,12 +101,19 @@ def _run_nested_action(q_deg, dtype):
     np.testing.assert_allclose(vec, vec_ref, rtol=tol, atol=tol)
 
 
-def test_complex128_documented_exclusion():
+def test_complex128_on_cpu_backend():
+    """complex128 adjoint-path parity on the CPU backend (the reference
+    parametrizes this oracle over c128, ``test_multiaction.py:15-23``;
+    XLA:TPU's f64 emulation cannot — the context raises there, see
+    ``dtypes.scalar_type_context``).  The test suite runs on the CPU
+    backend (conftest), so this exercises the supported path."""
+    import jax
+
     from dolfinx_external_operator_tpu.dtypes import scalar_type_context
 
-    with pytest.raises(NotImplementedError):
-        with scalar_type_context(np.complex128):
-            pass
+    assert jax.default_backend() == "cpu"
+    with scalar_type_context(np.complex128):
+        _run_nested_action(3, np.complex128)
 
 
 def test_dual_space_shim():
