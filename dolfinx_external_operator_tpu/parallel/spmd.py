@@ -188,7 +188,7 @@ class FusedPlasticityStep:
         }
 
         if linear_solver == "mg":
-            self._setup_mg(mg_opts or {}, nc, nc_pad, dofmap)
+            self._setup_mg(mg_opts or {}, nc, nc_pad)
 
         if device_mesh is not None:
             shard = NamedSharding(device_mesh, P("cells"))
@@ -207,7 +207,7 @@ class FusedPlasticityStep:
 
         self._step = self._build_step()
 
-    def _setup_mg(self, mg_opts, nc, nc_pad, dofmap):
+    def _setup_mg(self, mg_opts, nc, nc_pad):
         """Host-side multigrid hierarchy build (see ``parallel.mg``): the
         elastic tangent (the kernel at zero strain/stress) supplies the
         aggregation/smoothing proxy; cell-axis arrays are padded to the

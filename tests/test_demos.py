@@ -11,9 +11,9 @@ DEMOS = os.path.join(os.path.dirname(__file__), "..", "demos")
 @pytest.mark.parametrize("demo,args", [
     ("demo_simple_example.py", []),
     ("demo_nonlinear_heat.py", []),
-    ("demo_plasticity_von_mises.py", ["--small"]),
-    ("demo_plasticity_mohr_coulomb.py", ["--small"]),
-    ("demo_hyperelasticity.py", ["--small"]),
+    ("demo_plasticity_von_mises.py", ["--small", "--no-plot"]),
+    ("demo_plasticity_mohr_coulomb.py", ["--small", "--no-plot"]),
+    ("demo_hyperelasticity.py", ["--small", "--no-plot"]),
 ])
 @pytest.mark.slow
 def test_demo_runs(demo, args):
