@@ -86,7 +86,7 @@ class FusedPlasticityStep:
         self.newton_rtol = newton_rtol
         self.newton_max_it = newton_max_it
         self.cg_rtol = cg_rtol
-        assert linear_solver in ("cg", "dense", "mg", "auto")
+        assert linear_solver in ("cg", "dense", "mg", "elastic", "auto")
         if linear_solver == "auto":
             # measured crossover on v5e (NOTES.md round 3): below ~10k dofs
             # the dense f32 inverse + f64 refinement beats the AMG-CG's
@@ -98,6 +98,7 @@ class FusedPlasticityStep:
         # slightly faster end-to-end than explicit inverse on v5e at 25x25
         # (99 vs 108 ms/Newton); the inverse variant is kept as an option
         self._dense_use_inv = False
+        self._dense_refine = 3
         # Eisenstat-Walker forcing inside the FUSED Newton loop: the CG
         # target each iteration is max(cg_rtol, min(cap, sqrt(norm/norm0)))
         # — traced, so the single-execution path gets inexact Newton too.
@@ -189,6 +190,8 @@ class FusedPlasticityStep:
 
         if linear_solver == "mg":
             self._setup_mg(mg_opts or {}, nc, nc_pad)
+        elif linear_solver == "elastic":
+            self._setup_elastic_inverse(nc)
 
         if device_mesh is not None:
             shard = NamedSharding(device_mesh, P("cells"))
@@ -206,6 +209,37 @@ class FusedPlasticityStep:
                 self.statics["mg"] = mgs
 
         self._step = self._build_step()
+
+    def _setup_elastic_inverse(self, nc):
+        """Dense f32 inverse of the ELASTIC stiffness — the initial direct
+        preconditioner for ``linear_solver="elastic"``.
+
+        The reference refactorizes with MUMPS every Newton iteration; the
+        TPU-native small-problem answer is ONE factorization per LOAD STEP:
+        each fused step ends by inverting the converged tangent (device,
+        f32, Jacobi-equilibrated) and hands it to the next step as the
+        preconditioner of the mixed-precision Krylov (``mg.ir_pcg`` with
+        M = K_lag^-1 as a single f32 matmul).  The one-step lag costs only
+        a few inner iterations (tangent drift between adjacent load steps
+        is small); Newton trajectories are those of an exact solve — the
+        refinement converges to the same 1e-13 relative target — so
+        iteration-count parity holds exactly."""
+        C_el = np.asarray(self.kernel(jnp.zeros(4, _F), jnp.zeros(4, _F))[0])
+        B_np = np.asarray(self.statics["B"])[:nc]
+        K_el = np.einsum("cqik,ij,cqjl,cq->ckl", B_np, C_el, B_np, self._wdet)
+        n = self.n_dofs
+        dm = self.V.unrolled_dofmap.astype(np.int64)
+        K = np.zeros((n, n), np.float64)
+        np.add.at(K, (np.repeat(dm, dm.shape[1], 1), np.tile(dm, (1, dm.shape[1]))),
+                  K_el.reshape(nc, -1))
+        keep = ~self.bc_mask_np
+        K = K * keep[:, None] * keep[None, :] + np.diag(self.bc_mask_np.astype(np.float64))
+        # Jacobi equilibration for the f32 inversion; the pair is STEP
+        # state (refreshed by each fused step), not a static
+        d = 1.0 / np.sqrt(np.clip(np.abs(np.diag(K)), 1e-30, None))
+        Ks = (K * d[:, None] * d[None, :]).astype(np.float32)
+        self._el_precond = (jnp.asarray(np.linalg.inv(Ks)),
+                            jnp.asarray(d, jnp.float32))
 
     def _setup_mg(self, mg_opts, nc, nc_pad):
         """Host-side multigrid hierarchy build (see ``parallel.mg``): the
@@ -349,6 +383,45 @@ class FusedPlasticityStep:
         n_dofs = self.n_dofs
         use_dense = self.linear_solver == "dense"
         use_mg = self.linear_solver == "mg"
+        use_elastic = self.linear_solver == "elastic"
+
+        def elastic_solve(st, C_tang, b, psum, cg_rtol, maxiter, precond):
+            """Lagged-inverse preconditioned mixed-precision solve (see
+            ``_setup_elastic_inverse``): no per-Newton factorization at
+            all — the Krylov loop is f32 EBE matvecs + one (n, n) f32
+            matmul per iteration, with f64 refinement outside."""
+            from . import mg as _mg
+
+            mask = st["bc_mask"]
+            dof = st["dofmap"]
+            keep_ext = jnp.concatenate([~mask, jnp.zeros(1, bool)])
+            km = keep_ext[dof].astype(_F)
+            K_cell = jnp.einsum("cqik,cqij,cqjl,cq->ckl",
+                                st["B"], C_tang, st["B"], st["wdet"])
+            K_cell = K_cell * km[:, :, None] * km[:, None, :]
+            K32 = K_cell.astype(jnp.float32)
+
+            def _ebe(K, x, xz):
+                u = jnp.concatenate([xz, jnp.zeros(1, xz.dtype)])
+                y = jnp.einsum("cab,cb->ca", K, u[dof])
+                out = psum(jax.ops.segment_sum(
+                    y.ravel(), dof.ravel(), num_segments=n_dofs + 1)[:-1])
+                return jnp.where(mask, x, out)
+
+            def mv64(x):
+                return _ebe(K_cell, x, jnp.where(mask, 0.0, x))
+
+            def mv32(x):
+                return _ebe(K32, x, jnp.where(mask, 0.0, x).astype(jnp.float32))
+
+            Minv, d32 = precond
+
+            def M32(r):
+                rz = jnp.where(mask, 0.0, r)
+                z = d32 * (Minv @ (d32 * rz))
+                return jnp.where(mask, r, z)
+
+            return _mg.ir_pcg(mv64, mv32, M32, b, cg_rtol, maxiter)
 
         def mg_solve(st, C_tang, b, psum, cg_rtol, maxiter):
             """AMG-preconditioned CG (see ``parallel.mg``): per-Newton f32
@@ -429,11 +502,15 @@ class FusedPlasticityStep:
                 return jnp.where(mask, x, y)
 
             x = solve32(b)
-            for _ in range(3):
+            # each pass gains ~5-6 digits (equilibrated f32 solve starts at
+            # ~1e-5 relative); the count is tunable for the accuracy/time
+            # trade (default validated for 1e-13-class parity)
+            for _ in range(self._dense_refine):
                 x = x + solve32(b - mv(x))
             return x, jnp.asarray(0)
 
-        def one_step_core(st, Du, sigma_n, load, max_it, cg_rtol, norm0_ref, psum):
+        def one_step_core(st, Du, sigma_n, load, max_it, cg_rtol, norm0_ref, psum,
+                          precond=None):
             """Full Newton solve of one load step; returns converged state.
 
             Do-while structure: the constitutive kernel + residual appear
@@ -447,16 +524,31 @@ class FusedPlasticityStep:
             iterates are identical to the classic check-then-solve loop.
             ``max_it`` bounds the number of Newton UPDATES (``it`` only
             increments on an update); ``run_step_host`` drives one update
-            per device execution by passing ``max_it = 1``."""
+            per device execution by passing ``max_it = 1``.
+
+            ``precond`` (elastic/lagged mode only): (Minv (n, n) f32,
+            d (n,) f32) equilibrated inverse used as the Krylov
+            preconditioner; the step returns a REFRESHED pair built from
+            the converged tangent (one factorization per load step)."""
             nan = jnp.asarray(jnp.nan, _F)
+            # elastic mode carries the f32 tangent across the loop for the
+            # end-of-step preconditioner refresh; the init broadcasts from
+            # sigma_n so the carry keeps its varying ("cells") axis under
+            # shard_map (a plain zeros constant would be unvarying and the
+            # while_loop carry types would mismatch)
+            C32_0 = jnp.broadcast_to(
+                (sigma_n * 0).astype(jnp.float32)[..., None],
+                sigma_n.shape + (4,)) if use_elastic else jnp.zeros((), jnp.float32)
 
             def cond(state):
-                Du, sigma, norm, norm0, it, cg_tot, done = state
+                Du, sigma, C32, norm, norm0, it, cg_tot, done = state
                 return jnp.logical_and(jnp.logical_not(done), it < max_it)
 
             def body(state):
-                Du, sigma, norm, norm0, it, cg_tot, done = state
+                Du, sigma, C32, norm, norm0, it, cg_tot, done = state
                 C_tang, sigma = constitutive(st, Du, sigma_n, psum)
+                if use_elastic:
+                    C32 = C_tang.astype(jnp.float32)
                 r = residual(st, sigma, load, psum)
                 r = apply_bc_res(st, r, Du)
                 norm = jnp.sqrt(jnp.vdot(r, r))
@@ -474,49 +566,100 @@ class FusedPlasticityStep:
                 elif use_mg:
                     dx, cg_k = mg_solve(st, C_tang, -r, psum, rtol_it,
                                         maxiter=jnp.where(conv, 0, cg_maxiter))
+                elif use_elastic:
+                    dx, cg_k = elastic_solve(st, C_tang, -r, psum, rtol_it,
+                                             jnp.where(conv, 0, cg_maxiter), precond)
                 else:
                     # masked maxiter: a converged iterate runs 0 CG iterations
                     dx, cg_k = cg_solve(st, C_tang, -r, psum, rtol_it,
                                         maxiter=jnp.where(conv, 0, cg_maxiter))
                 Du = jnp.where(conv, Du, Du + dx)
                 it = it + jnp.where(conv, 0, 1)
-                return (Du, sigma, norm, norm0, it, cg_tot + jnp.where(conv, 0, cg_k), conv)
+                return (Du, sigma, C32, norm, norm0, it,
+                        cg_tot + jnp.where(conv, 0, cg_k), conv)
 
             zero = jnp.asarray(0)
             # norm0_ref: host-supplied reference norm for the rtol test (the
             # host-driven path calls one update at a time and carries norm0
             # across executions); NaN = self-initialize from the first
             # residual (the fused path).
-            state = (Du, jnp.zeros_like(sigma_n), nan, norm0_ref, zero, zero, jnp.asarray(False))
-            Du, sigma, norm, norm0, it, cg_tot, done = jax.lax.while_loop(cond, body, state)
-            return Du, sigma, norm, it, cg_tot
+            state = (Du, jnp.zeros_like(sigma_n), C32_0, nan, norm0_ref,
+                     zero, zero, jnp.asarray(False))
+            Du, sigma, C32, norm, norm0, it, cg_tot, done = \
+                jax.lax.while_loop(cond, body, state)
+            if not use_elastic:
+                return Du, sigma, norm, it, cg_tot
+            # refresh the lagged preconditioner from the converged tangent:
+            # one dense f32 assembly + inversion per LOAD STEP (vs the
+            # reference's per-Newton-iteration MUMPS refactorization)
+            dof = st["dofmap"]
+            mask = st["bc_mask"]
+            keep_ext = jnp.concatenate([~mask, jnp.zeros(1, bool)])
+            km = keep_ext[dof].astype(jnp.float32)
+            B32 = st["B"].astype(jnp.float32)
+            w32 = st["wdet"].astype(jnp.float32)
+            K_cell = jnp.einsum("cqik,cqij,cqjl,cq->ckl", B32, C32, B32, w32)
+            K_cell = K_cell * km[:, :, None] * km[:, None, :]
+            Kd = jnp.zeros((n_dofs + 1, n_dofs + 1), jnp.float32)
+            Kd = Kd.at[dof[:, :, None], dof[:, None, :]].add(K_cell)[:n_dofs, :n_dofs]
+            Kd = psum(Kd)
+            Kd = Kd + jnp.diag(mask.astype(jnp.float32))
+            d_new = 1.0 / jnp.sqrt(jnp.clip(jnp.abs(jnp.diagonal(Kd)), 1e-30, None))
+            Minv_new = jnp.linalg.inv(Kd * d_new[:, None] * d_new[None, :])
+            return Du, sigma, norm, it, cg_tot, Minv_new, d_new
 
         if dm is None:
-            def step(st, Du, sigma_n, load, max_it, cg_rtol, norm0_ref):
-                return one_step_core(st, Du, sigma_n, load, max_it, cg_rtol, norm0_ref, lambda x: x)
+            if use_elastic:
+                def step(st, Du, sigma_n, load, max_it, cg_rtol, norm0_ref, Minv, d):
+                    return one_step_core(st, Du, sigma_n, load, max_it, cg_rtol,
+                                         norm0_ref, lambda x: x, precond=(Minv, d))
+            else:
+                def step(st, Du, sigma_n, load, max_it, cg_rtol, norm0_ref):
+                    return one_step_core(st, Du, sigma_n, load, max_it, cg_rtol,
+                                         norm0_ref, lambda x: x)
 
             return jax.jit(step)
 
         st_spec = self._st_spec
         psum = lambda x: jax.lax.psum(x, "cells")
 
-        @partial(
-            shard_map, mesh=dm,
-            in_specs=(st_spec, P(), P("cells"), P(), P(), P(), P()),
-            out_specs=(P(), P("cells"), P(), P(), P()),
-        )
-        def sharded_step(st, Du, sigma_n, load, max_it, cg_rtol, norm0_ref):
-            return one_step_core(st, Du, sigma_n, load, max_it, cg_rtol, norm0_ref, psum)
+        if use_elastic:
+            @partial(
+                shard_map, mesh=dm,
+                in_specs=(st_spec, P(), P("cells"), P(), P(), P(), P(), P(), P()),
+                out_specs=(P(), P("cells"), P(), P(), P(), P(), P()),
+            )
+            def sharded_step(st, Du, sigma_n, load, max_it, cg_rtol, norm0_ref, Minv, d):
+                return one_step_core(st, Du, sigma_n, load, max_it, cg_rtol,
+                                     norm0_ref, psum, precond=(Minv, d))
+        else:
+            @partial(
+                shard_map, mesh=dm,
+                in_specs=(st_spec, P(), P("cells"), P(), P(), P(), P()),
+                out_specs=(P(), P("cells"), P(), P(), P()),
+            )
+            def sharded_step(st, Du, sigma_n, load, max_it, cg_rtol, norm0_ref):
+                return one_step_core(st, Du, sigma_n, load, max_it, cg_rtol,
+                                     norm0_ref, psum)
 
         return jax.jit(sharded_step)
 
     # ------------------------------------------------------------------
     def run_step(self, Du, sigma_n, load):
         """One load step: (Du, sigma_n (nc_pad, nq, 4), load scalar) ->
-        (Du_new, sigma (nc_pad, nq, 4), residual_norm, newton_its, cg_its)."""
-        return self._step(self.statics, Du, sigma_n, jnp.asarray(load, _F),
-                          jnp.asarray(self.newton_max_it), jnp.asarray(self.cg_rtol, _F),
-                          jnp.asarray(jnp.nan, _F))
+        (Du_new, sigma (nc_pad, nq, 4), residual_norm, newton_its, cg_its).
+
+        Elastic/lagged mode additionally carries the per-step-refreshed
+        preconditioner on ``self`` (it affects only inner-iteration counts,
+        never the Newton iterates — solves run to the same tolerance)."""
+        args = (self.statics, Du, sigma_n, jnp.asarray(load, _F),
+                jnp.asarray(self.newton_max_it), jnp.asarray(self.cg_rtol, _F),
+                jnp.asarray(jnp.nan, _F))
+        if self.linear_solver == "elastic":
+            out = self._step(*args, *self._el_precond)
+            self._el_precond = (out[5], out[6])
+            return out[:5]
+        return self._step(*args)
 
     def run_step_host(self, Du, sigma_n, load, forcing=True):
         """One load step with a HOST-driven Newton loop: each device
@@ -556,9 +699,14 @@ class FusedPlasticityStep:
             else:
                 rtol_eff = min(1e-2, max(self.cg_rtol, 1e-6)) if forcing else self.cg_rtol
             norm0_ref = jnp.asarray(jnp.nan if norm0 is None else norm0, _F)
-            Du, sigma, norm_j, its, cg = self._step(
-                self.statics, Du, sigma_n, load, one_it, jnp.asarray(rtol_eff, _F),
-                norm0_ref)
+            args = (self.statics, Du, sigma_n, load, one_it,
+                    jnp.asarray(rtol_eff, _F), norm0_ref)
+            if self.linear_solver == "elastic":
+                out = self._step(*args, *self._el_precond)
+                self._el_precond = (out[5], out[6])
+                Du, sigma, norm_j, its, cg = out[:5]
+            else:
+                Du, sigma, norm_j, its, cg = self._step(*args)
             norm = float(norm_j)
             its_total += int(its)
             cg_total += int(cg)

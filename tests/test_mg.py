@@ -145,6 +145,22 @@ def test_mg_matches_direct_solve_iterates():
         assert cg <= 60 * max(its, 1)
 
 
+def test_elastic_lagged_matches_direct_solve_iterates():
+    """linear_solver="elastic" (per-load-step lagged-inverse preconditioner,
+    no per-Newton factorization) reproduces the direct path's Newton counts
+    and iterates: solves run to the same tolerance, so the preconditioner
+    lag affects only inner-iteration counts."""
+    mesh, V, S, kernel, bc_dofs = _slope_fixture(Nx=12)
+    loads = [2.0, 6.0, 10.0, 14.0]
+    fp_d = FusedPlasticityStep(mesh, V, S, kernel, bc_dofs, linear_solver="dense")
+    Du_d, hist_d = _run(fp_d, loads)
+    fp_e = FusedPlasticityStep(mesh, V, S, kernel, bc_dofs, linear_solver="elastic")
+    Du_e, hist_e = _run(fp_e, loads)
+    assert [h[0] for h in hist_d] == [h[0] for h in hist_e]
+    assert np.max(np.abs(Du_d - Du_e)) < 1e-10
+    assert all(h[1] > 0 for h in hist_e[1:])  # the Krylov actually ran
+
+
 def test_mg_sharded_matches_single_device():
     devs = jax.devices()
     if len(devs) < 8:
