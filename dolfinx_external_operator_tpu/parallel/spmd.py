@@ -56,6 +56,39 @@ def _pad_to(x, n, value=0):
     return np.pad(x, padding, mode="constant", constant_values=value)
 
 
+def _blocked_tri_inv(L, base=256):
+    """Explicit inverse of a lower-triangular matrix by blocked recursion:
+    inv([[L11, 0], [L21, L22]]) = [[inv11, 0], [-inv22 L21 inv11, inv22]].
+    All the work above the base case is (m/2)-sized matmuls on the MXU;
+    XLA's triangular solves are row-sequential and ~2.4x slower at n~5k."""
+    m = L.shape[0]
+    if m <= base:
+        return jax.scipy.linalg.solve_triangular(
+            L, jnp.eye(m, dtype=L.dtype), lower=True)
+    h = m // 2
+    I11 = _blocked_tri_inv(L[:h, :h], base)
+    I22 = _blocked_tri_inv(L[h:, h:], base)
+    Z = jnp.zeros((h, m - h), L.dtype)
+    return jnp.block([[I11, Z], [-I22 @ (L[h:, :h] @ I11), I22]])
+
+
+def _spd_inv_chol(Ks32):
+    """Explicit f32 inverse of an SPD matrix: Cholesky + blocked triangular
+    inversion + Gram product.  Matmul-rich — measured 18 ms at n=5202 on
+    v5e vs 45.6 ms for XLA's LU-based ``inv`` (panel-sequential).  A
+    Cholesky breakdown (non-SPD input, e.g. a non-associative consistent
+    tangent) propagates NaN to the last diagonal entry; fall back to the
+    pivoted-LU inverse in that case."""
+    L = jnp.linalg.cholesky(Ks32)
+
+    def chol_path(_):
+        Li = _blocked_tri_inv(L)
+        return Li.T @ Li
+
+    return jax.lax.cond(jnp.isfinite(L[-1, -1]), chol_path,
+                        lambda K: jnp.linalg.inv(K), Ks32)
+
+
 class FusedPlasticityStep:
     """Fully fused load step for vector-displacement / quadrature-stress
     plasticity (the von Mises & Mohr-Coulomb pattern).
@@ -94,10 +127,16 @@ class FusedPlasticityStep:
             # costs blow up while AMG stays near mesh-independent
             linear_solver = "dense" if V.num_dofs <= 10_000 else "mg"
         self.linear_solver = linear_solver
-        # dense-path factorization flavor: lu_factor+lu_solve measured
-        # slightly faster end-to-end than explicit inverse on v5e at 25x25
-        # (99 vs 108 ms/Newton); the inverse variant is kept as an option
-        self._dense_use_inv = False
+        # dense-path factorization flavor: "chol" = Cholesky + blocked
+        # triangular inversion (explicit inverse; applications are single
+        # matvecs), "lu" = lu_factor + lu_solve (row-sequential triangular
+        # solves per application), "inv" = XLA's LU-based explicit inverse.
+        # Default (None) = each backend's fastest, resolved at build time
+        # from where the statics landed: "chol" on accelerators (matmul-
+        # rich, 18 vs 46 ms at n=5202 on v5e), "lu" on CPU (LAPACK's
+        # factor+solve beats forming an explicit inverse there — keeping
+        # the CPU-pipeline benchmark baseline its honest best).
+        self._dense_fact = None
         self._dense_refine = 3
         # Eisenstat-Walker forcing inside the FUSED Newton loop: the CG
         # target each iteration is max(cg_rtol, min(cap, sqrt(norm/norm0)))
@@ -188,6 +227,16 @@ class FusedPlasticityStep:
             "dofmap": P("cells"), "bc_mask": P(), "bc_vals": P(),
         }
 
+        # dedup dense-assembly map (single-device dense/elastic paths): a
+        # straight (n, n) .at.add scatter serializes duplicate (i, j) hits
+        # (~35 ns/element, 6.3 ms at 25x25); summing duplicates first with
+        # a sorted segment_sum and scattering UNIQUE entries cuts that to
+        # the memory-bound floor.  Sharded steps keep the plain scatter
+        # (the map would differ per shard).
+        self._dense_asm = None
+        if device_mesh is None and self.linear_solver in ("dense", "elastic"):
+            self._setup_dense_asm(dofmap_p)
+
         if linear_solver == "mg":
             self._setup_mg(mg_opts or {}, nc, nc_pad)
         elif linear_solver == "elastic":
@@ -209,6 +258,43 @@ class FusedPlasticityStep:
                 self.statics["mg"] = mgs
 
         self._step = self._build_step()
+
+    def _setup_dense_asm(self, dofmap_p):
+        """Host precompute of the duplicate-free dense-assembly map: the
+        (nc*nk*nk) per-cell contributions are permuted to sorted-unique
+        (i, j) segments; at assembly time one sorted ``segment_sum`` + one
+        unique-index scatter produce the global (n, n) matrix."""
+        nk = dofmap_p.shape[1]
+        ii = np.repeat(dofmap_p, nk, axis=1).ravel()
+        jj = np.tile(dofmap_p, (1, nk)).ravel()
+        key = ii * np.int64(self.n_dofs + 1) + jj
+        uniq, inv = np.unique(key, return_inverse=True)
+        perm = np.argsort(inv, kind="stable")
+        self._dense_asm = {
+            "perm": jnp.asarray(perm.astype(np.int32)),
+            "seg": jnp.asarray(inv[perm].astype(np.int32)),
+            "ui": jnp.asarray((uniq // (self.n_dofs + 1)).astype(np.int32)),
+            "uj": jnp.asarray((uniq % (self.n_dofs + 1)).astype(np.int32)),
+            "n_uniq": int(uniq.size),
+        }
+
+    def _assemble_dense_f32(self, K_cell32, dof, psum):
+        """Global (n, n) f32 matrix from per-cell (nk, nk) blocks — dedup
+        segment-sum path when the map exists (single device), plain
+        duplicate-scatter + psum otherwise.  ``dof`` is the (local) padded
+        dofmap as seen inside the (possibly shard_map'd) step."""
+        n = self.n_dofs
+        asm = self._dense_asm
+        if asm is not None:
+            vals = jax.ops.segment_sum(
+                K_cell32.reshape(-1)[asm["perm"]], asm["seg"],
+                num_segments=asm["n_uniq"], indices_are_sorted=True)
+            K = jnp.zeros((n + 1, n + 1), jnp.float32)
+            K = K.at[asm["ui"], asm["uj"]].set(vals, unique_indices=True)
+            return K[:n, :n]
+        K = jnp.zeros((n + 1, n + 1), jnp.float32)
+        K = K.at[dof[:, :, None], dof[:, None, :]].add(K_cell32)[:n, :n]
+        return psum(K)
 
     def _setup_elastic_inverse(self, nc):
         """Dense f32 inverse of the ELASTIC stiffness — the initial direct
@@ -462,40 +548,48 @@ class FusedPlasticityStep:
             return _mg.ir_pcg(mv, rt["mv0"], M32, b, cg_rtol, maxiter)
 
         def dense_solve(st, C_tang, b, psum):
-            """Assembled dense tangent + Jacobi-equilibrated f32 LU with f64
-            iterative refinement (XLA:TPU has no f64 LU).  Preferred below
-            ~10k dofs where the MXU factorizes faster than sequential CG.
+            """Assembled dense tangent + Jacobi-equilibrated f32
+            factorization with f64 iterative refinement (XLA:TPU has no f64
+            LU).  Preferred below ~10k dofs where the MXU factorizes faster
+            than sequential CG.
 
-            The global matrix is assembled directly in f32 — the LU consumes
-            f32 anyway, and the (n, n) scatter-add is memory-bound, so this
-            halves its traffic.  Refinement residuals use the EXACT f64
+            The global matrix is assembled entirely in f32 (basis, tangent,
+            weights) — the factorization consumes f32 anyway, and both the
+            einsum and the scatter are memory-bound, so this halves their
+            traffic.  Refinement residuals use the EXACT f64
             element-by-element operator action (no f64 global matrix ever
-            materializes); f32 diagonal equilibration is precision-neutral."""
+            materializes); f32 diagonal equilibration is precision-neutral.
+            The default factorization is the Cholesky-based explicit
+            inverse (``_spd_inv_chol``) whose applications are single f32
+            matvecs; see ``_dense_fact``."""
             mask = st["bc_mask"]
             f32 = jnp.float32
-            K_cell = jnp.einsum("cqik,cqij,cqjl,cq->ckl", st["B"], C_tang, st["B"], st["wdet"]).astype(f32)
-            dof = st["dofmap"]
-            K = jnp.zeros((n_dofs + 1, n_dofs + 1), f32)
-            K = K.at[dof[:, :, None], dof[:, None, :]].add(K_cell)[:n_dofs, :n_dofs]
-            K = psum(K)
+            K_cell = jnp.einsum("cqik,cqij,cqjl,cq->ckl",
+                                st["B"].astype(f32), C_tang.astype(f32),
+                                st["B"].astype(f32), st["wdet"].astype(f32))
+            K = self._assemble_dense_f32(K_cell, st["dofmap"], psum)
             keep32 = (~mask).astype(f32)
             K = K * keep32[:, None] * keep32[None, :] + jnp.diag(mask.astype(f32))
             d = 1.0 / jnp.sqrt(jnp.clip(jnp.abs(jnp.diagonal(K)), 1e-30, None).astype(_F))
             Ks32 = K * (d[:, None] * d[None, :]).astype(f32)
-            if self._dense_use_inv:
-                # explicit inverse applied as matmuls: trades the repeated
-                # row-sequential lu_solve triangular solves of the
-                # refinement loop for one-time inversion cost (same f32
-                # accuracy class; f64 refinement recovers 1e-14 either way)
-                Kinv = jnp.linalg.inv(Ks32)
-
-                def solve32(rr):
-                    return (Kinv @ (rr * d).astype(f32)).astype(_F) * d
-            else:
+            fact = self._dense_fact or (
+                "lu" if next(iter(self.statics["B"].devices())).platform == "cpu"
+                else "chol")
+            if fact == "lu":
                 lu, piv = jax.scipy.linalg.lu_factor(Ks32)
 
                 def solve32(rr):
                     return jax.scipy.linalg.lu_solve((lu, piv), (rr * d).astype(f32)).astype(_F) * d
+            else:
+                # explicit inverse applied as matvecs: trades the repeated
+                # row-sequential triangular solves of the refinement loop
+                # for one-time inversion cost (same f32 accuracy class;
+                # f64 refinement recovers 1e-14 either way)
+                Kinv = (_spd_inv_chol(Ks32) if fact == "chol"
+                        else jnp.linalg.inv(Ks32))
+
+                def solve32(rr):
+                    return (Kinv @ (rr * d).astype(f32)).astype(_F) * d
 
             def mv(x):
                 y = tangent_matvec(st, C_tang, jnp.where(mask, 0.0, x), psum)
@@ -561,18 +655,27 @@ class FusedPlasticityStep:
                     rtol_it = jnp.clip(eta, cg_rtol, self.fused_forcing)
                 else:
                     rtol_it = cg_rtol
-                if use_dense:
-                    dx, cg_k = dense_solve(st, C_tang, -r, psum)
-                elif use_mg:
-                    dx, cg_k = mg_solve(st, C_tang, -r, psum, rtol_it,
-                                        maxiter=jnp.where(conv, 0, cg_maxiter))
-                elif use_elastic:
-                    dx, cg_k = elastic_solve(st, C_tang, -r, psum, rtol_it,
-                                             jnp.where(conv, 0, cg_maxiter), precond)
-                else:
-                    # masked maxiter: a converged iterate runs 0 CG iterations
-                    dx, cg_k = cg_solve(st, C_tang, -r, psum, rtol_it,
-                                        maxiter=jnp.where(conv, 0, cg_maxiter))
+                # a converged iterate (the loop's final convergence-check
+                # pass — one per load step) must not pay for a solve; the
+                # masked-maxiter trick only skips the Krylov ITERATIONS, so
+                # gate the whole solve (tangent assembly, factorization,
+                # mg setup) behind a real branch.  ``conv`` derives from
+                # psum'd norms, so every shard takes the same side.
+                def _solve(_):
+                    if use_dense:
+                        return dense_solve(st, C_tang, -r, psum)
+                    elif use_mg:
+                        return mg_solve(st, C_tang, -r, psum, rtol_it,
+                                        maxiter=cg_maxiter)
+                    elif use_elastic:
+                        return elastic_solve(st, C_tang, -r, psum, rtol_it,
+                                             cg_maxiter, precond)
+                    return cg_solve(st, C_tang, -r, psum, rtol_it,
+                                    maxiter=cg_maxiter)
+
+                dx, cg_k = jax.lax.cond(
+                    conv, lambda _: (jnp.zeros_like(Du), jnp.asarray(0)),
+                    _solve, 0)
                 Du = jnp.where(conv, Du, Du + dx)
                 it = it + jnp.where(conv, 0, 1)
                 return (Du, sigma, C32, norm, norm0, it,
@@ -600,12 +703,10 @@ class FusedPlasticityStep:
             w32 = st["wdet"].astype(jnp.float32)
             K_cell = jnp.einsum("cqik,cqij,cqjl,cq->ckl", B32, C32, B32, w32)
             K_cell = K_cell * km[:, :, None] * km[:, None, :]
-            Kd = jnp.zeros((n_dofs + 1, n_dofs + 1), jnp.float32)
-            Kd = Kd.at[dof[:, :, None], dof[:, None, :]].add(K_cell)[:n_dofs, :n_dofs]
-            Kd = psum(Kd)
+            Kd = self._assemble_dense_f32(K_cell, dof, psum)
             Kd = Kd + jnp.diag(mask.astype(jnp.float32))
             d_new = 1.0 / jnp.sqrt(jnp.clip(jnp.abs(jnp.diagonal(Kd)), 1e-30, None))
-            Minv_new = jnp.linalg.inv(Kd * d_new[:, None] * d_new[None, :])
+            Minv_new = _spd_inv_chol(Kd * d_new[:, None] * d_new[None, :])
             return Du, sigma, norm, it, cg_tot, Minv_new, d_new
 
         if dm is None:
