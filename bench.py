@@ -105,15 +105,21 @@ def _run_schedule(fp, load_steps, label, host_driver=False):
     jax.block_until_ready((Du_w, sig_w))
 
     Du, sig = fp.zero_state()
-    newton_total = 0
+    newton_its = []
     t0 = time.perf_counter()
     for i, load in enumerate(load_steps):
         Du, sig, norm, its, cg = step(Du, sig, float(load))
-        newton_total += int(its)
-        if i % 10 == 0:
+        # keep `its` as a device scalar: converting per step would force a
+        # host sync (one ~10 ms tunnel round trip each) and serialize the
+        # dispatch pipeline; everything is summed after the final block.
+        newton_its.append(its)
+        if host_driver and i % 10 == 0:
             _log(f"  {label} step {i}: load={load:.2f} newton={int(its)} cg={int(cg)} norm={float(norm):.2e}")
     jax.block_until_ready((Du, sig))
     wall = time.perf_counter() - t0
+    newton_total = int(sum(int(x) for x in newton_its))
+    _log(f"  {label}: {len(load_steps)} steps, newton_total={newton_total}, "
+         f"final norm={float(norm):.2e}")
     return {
         "steps": len(load_steps),
         "wall_s": round(wall, 3),
@@ -143,12 +149,12 @@ def main():
     _log(f"bench: CPU {cpu_pps:.3e} pts/s; e2e 25x25 on TPU...")
 
     full_schedule = np.concatenate([np.linspace(2, 22.9, 50), np.array([22.96, 22.99])])
-    fp_tpu = _build_fused(mat, 25, 25, "auto")
+    fp_tpu = _build_fused(mat, 25, 25, "auto", sorted_chunk=4096)
     e2e_tpu = _run_schedule(fp_tpu, full_schedule, "tpu-25x25")
 
     _log("bench: e2e 25x25 on host CPU (same pipeline)...")
     with jax.default_device(cpu):
-        fp_cpu = _build_fused(mat, 25, 25, "auto")
+        fp_cpu = _build_fused(mat, 25, 25, "auto", sorted_chunk=4096)
         e2e_cpu = _run_schedule(fp_cpu, full_schedule, "cpu-25x25")
     e2e_ratio = e2e_cpu["wall_s"] / e2e_tpu["wall_s"]
 

@@ -137,7 +137,11 @@ class FusedPlasticityStep:
         # factor+solve beats forming an explicit inverse there — keeping
         # the CPU-pipeline benchmark baseline its honest best).
         self._dense_fact = None
-        self._dense_refine = 3
+        # f64 refinement rounds on top of the equilibrated f32 solve: each
+        # round multiplies accuracy by ~1e-5..1e-6; round counts 1-3 all
+        # measured Newton-iterate-identical on the slope schedule (maxdiff
+        # 2.8e-15 at 1), 2 keeps an order-of-magnitude safety margin.
+        self._dense_refine = 2
         # Eisenstat-Walker forcing inside the FUSED Newton loop: the CG
         # target each iteration is max(cg_rtol, min(cap, sqrt(norm/norm0)))
         # — traced, so the single-execution path gets inexact Newton too.
@@ -746,6 +750,63 @@ class FusedPlasticityStep:
         return jax.jit(sharded_step)
 
     # ------------------------------------------------------------------
+    def _build_schedule(self):
+        """Whole-schedule program: ``lax.scan`` of the compiled step over a
+        load array — ONE device execution for the full load-stepping run."""
+        step = self._step
+        nan = jnp.asarray(jnp.nan, _F)
+        elastic = self.linear_solver == "elastic"
+
+        def sched(st, Du, sigma_n, loads, max_it, cg_rtol, *precond):
+            def body(carry, load):
+                if elastic:
+                    Du, sig, Minv, d = carry
+                    Du, sig, norm, its, cg, Minv, d = step(
+                        st, Du, sig, load, max_it, cg_rtol, nan, Minv, d)
+                    return (Du, sig, Minv, d), (norm, its, cg)
+                Du, sig = carry
+                Du, sig, norm, its, cg = step(st, Du, sig, load, max_it,
+                                              cg_rtol, nan)
+                return (Du, sig), (norm, its, cg)
+
+            init = (Du, sigma_n) + tuple(precond)
+            return jax.lax.scan(body, init, loads)
+
+        return jax.jit(sched)
+
+    def run_schedule(self, loads, Du=None, sigma_n=None):
+        """Run ALL load steps in one device execution.
+
+        Equivalent to calling ``run_step`` over ``loads`` (state commit
+        between steps included), but the whole schedule is a single
+        compiled program: no per-step dispatch/sync round trips (~10 ms
+        each through this machine's TPU tunnel — ~0.5 s over the 52-step
+        slope schedule).  Returns ``(Du, sigma, norms, newton_its,
+        cg_its)`` with per-step history arrays.
+
+        Only for runs whose total device time stays under the tunnel's
+        ~60 s per-execution kill limit; use ``run_step`` /
+        ``run_step_host`` beyond that (NOTES.md "TPU runtime
+        constraints")."""
+        if Du is None or sigma_n is None:
+            Du0, sig0 = self.zero_state()
+            Du = Du0 if Du is None else Du
+            sigma_n = sig0 if sigma_n is None else sigma_n
+        if getattr(self, "_sched_for", None) is not self._step:
+            self._sched = self._build_schedule()
+            self._sched_for = self._step
+        loads = jnp.asarray(np.asarray(loads, dtype=np.float64), _F)
+        args = (self.statics, Du, sigma_n, loads,
+                jnp.asarray(self.newton_max_it), jnp.asarray(self.cg_rtol, _F))
+        if self.linear_solver == "elastic":
+            carry, hist = self._sched(*args, *self._el_precond)
+            Du, sigma = carry[0], carry[1]
+            self._el_precond = (carry[2], carry[3])
+        else:
+            (Du, sigma), hist = self._sched(*args)
+        norms, its, cgs = hist
+        return Du, sigma, norms, its, cgs
+
     def run_step(self, Du, sigma_n, load):
         """One load step: (Du, sigma_n (nc_pad, nq, 4), load scalar) ->
         (Du_new, sigma (nc_pad, nq, 4), residual_norm, newton_its, cg_its).

@@ -116,3 +116,45 @@ def test_host_driven_newton_matches_fused():
     du_f, du_h = results["fused"][0], results["host"][0]
     err = np.abs(du_f - du_h).max() / max(np.abs(du_f).max(), 1e-30)
     assert err < 1e-6, err
+
+
+@pytest.mark.parametrize("solver", ["cg", "elastic"])
+def test_run_schedule_matches_run_step(solver):
+    """run_schedule (whole load schedule as one lax.scan execution) commits
+    state between steps exactly like the per-step run_step driver: identical
+    iterates, Newton counts, and history."""
+    from dolfinx_external_operator_tpu.models.mohr_coulomb import build_slope_problem
+
+    P = build_slope_problem(Nx=4, Ny=4)
+    mat, mesh, V, S = P["material"], P["mesh"], P["V"], P["S"]
+    bottom = locate_dofs_geometrical(V, lambda x: np.isclose(x[1], 0.0))
+    right = locate_dofs_geometrical(V, lambda x: np.isclose(x[0], 1.2))
+    bc_dofs = np.concatenate([np.concatenate([s * 2, s * 2 + 1]) for s in (bottom, right)])
+
+    def kernel(deps, sn):
+        C_tang, state = mat.tangent_stress_point(deps, sn)
+        return C_tang, state[0]
+
+    loads = np.linspace(2, 14, 3)
+
+    fp = FusedPlasticityStep(mesh, V, S, kernel, bc_dofs, linear_solver=solver)
+    Du, sig = fp.zero_state()
+    its_ref, cg_ref = [], []
+    for load in loads:
+        Du, sig, norm, it, cg = fp.run_step(Du, sig, load)
+        its_ref.append(int(it))
+        cg_ref.append(int(cg))
+
+    fp2 = FusedPlasticityStep(mesh, V, S, kernel, bc_dofs, linear_solver=solver)
+    Du_s, sig_s, norms, its, cgs = fp2.run_schedule(loads)
+
+    # cg path is bitwise-identical; the elastic carry's scan body fuses
+    # slightly differently, producing ULP-level (~1e-19) differences.
+    assert np.abs(np.asarray(Du_s) - np.asarray(Du)).max() < 1e-16
+    assert np.abs(np.asarray(sig_s) - np.asarray(sig)).max() < 1e-14
+    assert [int(x) for x in its] == its_ref
+    if solver == "cg":
+        assert [int(x) for x in cgs] == cg_ref
+    else:  # ULP-level iterate shifts can move a CG exit by an iteration
+        assert all(abs(int(a) - b) <= 2 for a, b in zip(cgs, cg_ref))
+    assert abs(float(norms[-1]) - float(norm)) <= 1e-12 * max(1.0, float(norm))
