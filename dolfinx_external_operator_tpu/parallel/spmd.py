@@ -563,9 +563,9 @@ class FusedPlasticityStep:
             traffic.  Refinement residuals use the EXACT f64
             element-by-element operator action (no f64 global matrix ever
             materializes); f32 diagonal equilibration is precision-neutral.
-            The default factorization is the Cholesky-based explicit
-            inverse (``_spd_inv_chol``) whose applications are single f32
-            matvecs; see ``_dense_fact``."""
+            The default factorization keeps the INVERSE CHOLESKY FACTOR
+            (``Li = inv(chol(K))``) and applies ``K^-1 = Li^T Li`` as two
+            triangular matvecs; see ``_dense_fact``."""
             mask = st["bc_mask"]
             f32 = jnp.float32
             K_cell = jnp.einsum("cqik,cqij,cqjl,cq->ckl",
@@ -584,13 +584,25 @@ class FusedPlasticityStep:
 
                 def solve32(rr):
                     return jax.scipy.linalg.lu_solve((lu, piv), (rr * d).astype(f32)).astype(_F) * d
+            elif fact == "chol":
+                # inverse Cholesky factor, NO Gram product: forming the
+                # explicit inverse Li^T @ Li costs an n^3 matmul (~12 ms at
+                # n=5.2k on v5e) while the two-triangular-matvec apply costs
+                # the same as one dense matvec (1.85 vs 1.90 ms measured) —
+                # the Gram product is pure loss at <= 3 applications/Newton.
+                # Cholesky breakdown (non-SPD tangent) falls back to the
+                # pivoted-LU explicit inverse through the same apply.
+                L = jnp.linalg.cholesky(Ks32)
+                spd = jnp.isfinite(L[-1, -1])
+                Li = jax.lax.cond(spd, _blocked_tri_inv,
+                                  lambda _: jnp.linalg.inv(Ks32), L)
+
+                def solve32(rr):
+                    y = Li @ (rr * d).astype(f32)
+                    return jnp.where(spd, Li.T @ y, y).astype(_F) * d
             else:
-                # explicit inverse applied as matvecs: trades the repeated
-                # row-sequential triangular solves of the refinement loop
-                # for one-time inversion cost (same f32 accuracy class;
-                # f64 refinement recovers 1e-14 either way)
-                Kinv = (_spd_inv_chol(Ks32) if fact == "chol"
-                        else jnp.linalg.inv(Ks32))
+                # explicit inverse applied as single matvecs
+                Kinv = jnp.linalg.inv(Ks32)
 
                 def solve32(rr):
                     return (Kinv @ (rr * d).astype(f32)).astype(_F) * d

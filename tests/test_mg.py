@@ -190,3 +190,26 @@ def test_mg_forcing_reduces_cg_iterations():
     Du_f, hist_f = _run(fp_f, loads)
     assert sum(h[1] for h in hist_f) < sum(h[1] for h in hist)
     assert np.max(np.abs(Du - Du_f)) < 1e-8  # same converged solution
+
+
+def test_dense_fact_chol_matches_lu():
+    """The accelerator dense factorization (inverse Cholesky factor applied
+    as two triangular matvecs, with LU-inverse fallback for non-SPD input)
+    reproduces the CPU default (LAPACK lu_factor/lu_solve): identical Newton
+    counts, iterates to the f64-refinement floor."""
+    mesh, V, S, kernel, bc_dofs = _slope_fixture(Nx=8)
+    loads = [2.0, 10.0]
+
+    fp_lu = FusedPlasticityStep(mesh, V, S, kernel, bc_dofs, linear_solver="dense")
+    fp_lu._dense_fact = "lu"
+    fp_lu._step = fp_lu._build_step()
+    Du_lu, hist_lu = _run(fp_lu, loads)
+
+    fp_ch = FusedPlasticityStep(mesh, V, S, kernel, bc_dofs, linear_solver="dense")
+    fp_ch._dense_fact = "chol"
+    fp_ch._step = fp_ch._build_step()
+    Du_ch, hist_ch = _run(fp_ch, loads)
+
+    assert [h[0] for h in hist_ch] == [h[0] for h in hist_lu]
+    denom = max(np.abs(Du_lu).max(), 1e-30)
+    assert np.abs(Du_ch - Du_lu).max() / denom < 1e-12
