@@ -59,9 +59,10 @@ def _csr_from_blocks(blocks, dofmap, n):
     nk = blocks.shape[1]
     rows = np.repeat(dofmap, nk, axis=1).ravel()
     cols = np.tile(dofmap, (1, nk)).ravel()
-    A = sp.coo_matrix((blocks.ravel(), (rows, cols)), shape=(n, n))
-    A.sum_duplicates()
-    return A.tocsr()
+    # tocsr() sums duplicates in C; the explicit python-side
+    # coo.sum_duplicates() lexsorts the same 46M entries (at 200x200)
+    # a second time for ~15 s of pure overhead
+    return sp.coo_matrix((blocks.ravel(), (rows, cols)), shape=(n, n)).tocsr()
 
 
 def _eliminate_bc(A, bc_mask):
@@ -261,9 +262,21 @@ def _galerkin_contrib_map(ell_f, P, ell_c):
     return (src[order].astype(_I), wgt[order], dst[order].astype(_I))
 
 
+def _ell_vals_from_csr(K, ell):
+    """Map CSR values into an ELL layout's flat value vector (the layout's
+    pattern is a structural superset of K's by construction)."""
+    K = K.tocsr()
+    K.sort_indices()
+    rows = np.repeat(np.arange(K.shape[0]), np.diff(K.indptr))
+    slots = ell.lookup(rows, K.indices)
+    vals = np.zeros(ell.n * ell.m, dtype=np.float32)
+    vals[slots] = K.data
+    return vals.reshape(ell.n, ell.m)
+
+
 def build_mg_statics(mesh, V, bc_mask, K0_cell_elastic, *,
                      coarse_target=150, max_levels=8, smooth_sa=True,
-                     cheb_degree=3, verbose=False):
+                     cheb_degree=3, galerkin_levels=None, verbose=False):
     """Build the fixed multigrid hierarchy (host, once per problem).
 
     Parameters
@@ -278,6 +291,18 @@ def build_mg_statics(mesh, V, bc_mask, K0_cell_elastic, *,
         cost of larger Galerkin maps — ~24M contribution entries at
         100x100; the geometric P2->P1 transfer is never smoothed, it is
         already the exact nested interpolation).
+    galerkin_levels : number of hierarchy levels below level 0 whose VALUES
+        are recomputed from the current tangent every Newton iteration.
+        ``None`` (default) = all of them.  ``1`` = only the P1 level tracks
+        the tangent (cheap cell-local einsum); deeper levels keep FROZEN
+        values Galerkin-projected from the ELASTIC operator at build time.
+        The frozen levels only steer the smooth/coarse end of a
+        preconditioner, so the cost is a few extra CG iterations while the
+        per-Newton Galerkin segment-sums AND the contribution maps
+        disappear — at 200x200 those maps are ~1.2 GB of device statics
+        (~97% of the hierarchy) and ~95M summed entries per Newton, which
+        is what made the full-Galerkin variant untransportable through the
+        single-chip tunnel.
 
     Returns a dict of HOST (numpy) arrays consumed by ``mg_setup``/
     ``vcycle`` after the caller device-puts them (see FusedPlasticityStep).
@@ -368,14 +393,18 @@ def build_mg_statics(mesh, V, bc_mask, K0_cell_elastic, *,
         if n_c >= levels[-1]["n"]:
             break  # aggregation stalled
         ell_c = _EllLayout(_pattern(K_l, P))
-        src, wgt, dst = _galerkin_contrib_map(ell_l, P, ell_c)
         P_idx, P_w = _padded_rows(P)
-        transfers.append({"src": src, "w": wgt.astype(np.float32), "dst": dst,
-                          "nnz_flat": n_c * ell_c.m,
-                          "P_idx": P_idx.astype(_I),
-                          "P_w": P_w.astype(np.float32)})
-        levels.append({"cols": ell_c.cols.astype(_I), "m": ell_c.m, "n": n_c,
-                       "diag_slot": ell_c.diag_slot.astype(_I)})
+        t = {"P_idx": P_idx.astype(_I), "P_w": P_w.astype(np.float32)}
+        lvl = {"cols": ell_c.cols.astype(_I), "m": ell_c.m, "n": n_c,
+               "diag_slot": ell_c.diag_slot.astype(_I)}
+        if galerkin_levels is None or len(levels) < galerkin_levels:
+            src, wgt, dst = _galerkin_contrib_map(ell_l, P, ell_c)
+            t.update({"src": src, "w": wgt.astype(np.float32), "dst": dst,
+                      "nnz_flat": n_c * ell_c.m})
+        else:
+            lvl["frozen_vals"] = _ell_vals_from_csr(K_c, ell_c)
+        transfers.append(t)
+        levels.append(lvl)
         if verbose:
             print(f"  mg level {len(levels)}: n={n_c} (aggregates {n_agg}, "
                   f"nnz/row <= {ell_c.m})")
@@ -457,8 +486,12 @@ def mg_setup(statics, K0_cell_f32, dofmap, bc_mask, n0, psum=None, *, power_iter
     lvl_vals = [vals_flat.reshape(levels[0]["cols"].shape)]
 
     # deeper levels: flat Galerkin contribution maps (replicated work;
-    # dst is host-sorted so segment_sum takes its fast path)
+    # dst is host-sorted so segment_sum takes its fast path) — or FROZEN
+    # elastic values when the level carries no map (galerkin_levels)
     for t, lvl in zip(transfers[1:], levels[1:]):
+        if "src" not in t:
+            lvl_vals.append(lvl["frozen_vals"])
+            continue
         prev = lvl_vals[-1].ravel()
         vals = jax.ops.segment_sum(prev[t["src"]] * t["w"], t["dst"],
                                    num_segments=lvl["cols"].size,

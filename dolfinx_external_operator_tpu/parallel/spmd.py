@@ -316,7 +316,7 @@ class FusedPlasticityStep:
         iteration-count parity holds exactly."""
         C_el = np.asarray(self.kernel(jnp.zeros(4, _F), jnp.zeros(4, _F))[0])
         B_np = np.asarray(self.statics["B"])[:nc]
-        K_el = np.einsum("cqik,ij,cqjl,cq->ckl", B_np, C_el, B_np, self._wdet)
+        K_el = np.einsum("cqik,ij,cqjl,cq->ckl", B_np, C_el, B_np, self._wdet, optimize=True)
         n = self.n_dofs
         dm = self.V.unrolled_dofmap.astype(np.int64)
         K = np.zeros((n, n), np.float64)
@@ -341,7 +341,14 @@ class FusedPlasticityStep:
         C_el = np.asarray(self.kernel(jnp.zeros(4, _F), jnp.zeros(4, _F))[0])
         B_np = np.asarray(self.statics["B"])[:nc]
         wdet_np = self._wdet
-        K_el = np.einsum("cqik,ij,cqjl,cq->ckl", B_np, C_el, B_np, wdet_np)
+        K_el = np.einsum("cqik,ij,cqjl,cq->ckl", B_np, C_el, B_np, wdet_np, optimize=True)
+        mg_opts = dict(mg_opts)
+        # default: above ~30k dofs freeze the aggregation levels to their
+        # elastic Galerkin values (see mg.build_mg_statics) — the full
+        # per-Newton Galerkin maps grow to ~1.2 GB at 200x200 and their
+        # transfer/segment-sum cost dwarfs the few extra CG iterations
+        mg_opts.setdefault("galerkin_levels",
+                           None if self.n_dofs <= 30_000 else 1)
         mgs = _mg.build_mg_statics(self.mesh, self.V, self.bc_mask_np, K_el,
                                    **{k: v for k, v in mg_opts.items()
                                       if k != "gamma_coarse"})

@@ -161,6 +161,31 @@ def test_elastic_lagged_matches_direct_solve_iterates():
     assert all(h[1] > 0 for h in hist_e[1:])  # the Krylov actually ran
 
 
+def test_frozen_galerkin_matches_full():
+    """``galerkin_levels=1`` (aggregation levels keep FROZEN elastic
+    Galerkin values; only the P1 level tracks the Newton tangent) is the
+    large-mesh default — at 200x200 the full per-Newton Galerkin maps are
+    ~1.2 GB of device statics.  The frozen hierarchy is still only a
+    preconditioner: Newton counts must be identical and the f64-refined
+    solution must match the full-Galerkin path to solver tolerance."""
+    mesh, V, S, kernel, bc_dofs = _slope_fixture(Nx=12)
+    loads = [2.0, 6.0, 10.0, 14.0]
+    fp_full = FusedPlasticityStep(mesh, V, S, kernel, bc_dofs, linear_solver="mg",
+                                  mg_opts={"galerkin_levels": None})
+    Du_full, hist_full = _run(fp_full, loads)
+    fp_frozen = FusedPlasticityStep(mesh, V, S, kernel, bc_dofs, linear_solver="mg",
+                                    mg_opts={"galerkin_levels": 1})
+    # the frozen levels must actually exist and carry no contribution maps
+    mgs = fp_frozen.statics["mg"]
+    assert len(mgs["levels"]) > 1
+    assert any("frozen_vals" in lvl for lvl in mgs["levels"][1:])
+    assert all("src" not in t for t in mgs["transfers"][1:])
+    Du_frozen, hist_frozen = _run(fp_frozen, loads)
+    assert [h[0] for h in hist_full] == [h[0] for h in hist_frozen]
+    assert np.max(np.abs(Du_full - Du_frozen)) < 1e-10
+    assert all(h[1] > 0 for h in hist_frozen[1:])
+
+
 def test_mg_sharded_matches_single_device():
     devs = jax.devices()
     if len(devs) < 8:
