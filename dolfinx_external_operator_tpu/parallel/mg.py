@@ -471,7 +471,15 @@ def mg_setup(statics, K0_cell_f32, dofmap, bc_mask, n0, psum=None, *, power_iter
         u = jnp.concatenate([xz, jnp.zeros(1, _F32)])
         y = jnp.einsum("cab,cb->ca", K0_cell_f32, u[dofmap])
         out = psum(jax.ops.segment_sum(y.ravel(), dofmap.ravel(), num_segments=n0 + 1)[:-1])
-        return jnp.where(free, out, xz)
+        # IDENTITY (not zero) on bc rows, matching the exact f64 operator
+        # of every caller: a zero bc row makes the f32 system singular, and
+        # any nonzero bc component of the refinement residual (e.g. the
+        # first Newton step after a load-step re-initialization of Du, bc
+        # rows ~1e-8) becomes an irreducible direction that poisons the
+        # inner CG — observed as immediate stagnation at ~1e-3 relative on
+        # the von Mises general path.  With identity rows the bc block is a
+        # perfectly-conditioned sub-problem the iteration solves exactly.
+        return jnp.where(free, out, x.astype(_F32))
 
     rt = {"d0": d0, "mv0": mv0,
           "lmax0": _power_lmax(mv0, 1.0 / d0, n0, power_iters)}

@@ -244,7 +244,12 @@ class NewtonSolver:
             V = problem.J.test_space
             assert bool(jnp.all(tdofs == udofs)), "mg needs test dofs == trial dofs"
             statics_np = mgmod.build_mg_statics(
-                problem.J.mesh, V, np.asarray(mask), np.asarray(K_cell))
+                problem.J.mesh, V, np.asarray(mask), np.asarray(K_cell),
+                # same large-mesh default as FusedPlasticityStep._setup_mg:
+                # freeze aggregation-level values to their elastic Galerkin
+                # projection (the full per-Newton maps are ~GB-scale at
+                # 200x200-class meshes)
+                galerkin_levels=None if V.num_dofs <= 30_000 else 1)
             cheb_degree = statics_np.pop("cheb_degree")
             statics = jax.tree.map(jnp.asarray, statics_np)
             n = V.num_dofs

@@ -238,3 +238,54 @@ def test_dense_fact_chol_matches_lu():
     assert [h[0] for h in hist_ch] == [h[0] for h in hist_lu]
     denom = max(np.abs(Du_lu).max(), 1e-30)
     assert np.abs(Du_ch - Du_lu).max() / denom < 1e-12
+
+
+def test_ir_pcg_nonzero_bc_rows():
+    """Regression: ``mg_setup``'s f32 level-0 matvec must be IDENTITY on bc
+    rows, matching the exact f64 operator.  With the old zero-bc-row f32
+    operator, any nonzero bc component of the right-hand side (e.g. the
+    first Newton step after a load-step re-initialization of Du puts
+    ~1e-8 on bc rows) was an irreducible direction: the inner f32 CG
+    stagnated at ~1e-3 relative and iterative refinement exited on its
+    no-progress guard — observed as Newton failing to converge on the von
+    Mises general path with ``pc_type="mg"``."""
+    mesh, V, S, kernel, bc_dofs = _slope_fixture(Nx=8)
+    fp = FusedPlasticityStep(mesh, V, S, kernel, bc_dofs, linear_solver="mg")
+    n = V.num_dofs
+    C_el = np.asarray(kernel(jnp.zeros(4), jnp.zeros(4))[0])
+    B_np = np.asarray(fp.statics["B"])
+    wdet = np.asarray(fp.statics["wdet"])
+    K_cell = np.einsum("cqik,ij,cqjl,cq->ckl", B_np, C_el, B_np, wdet)
+    keep = np.concatenate([~fp.bc_mask_np, [False]])
+    dof = fp.statics["dofmap"]
+    km = keep[np.asarray(dof)]
+    K_bc = K_cell * km[:, :, None] * km[:, None, :]
+    mask = fp.statics["bc_mask"]
+    rt = mgmod.mg_setup(fp.statics["mg"], jnp.asarray(K_bc, jnp.float32),
+                        dof, mask, n)
+
+    # the f32 operator is identity on bc rows
+    e_bc = jnp.zeros(n, jnp.float32).at[np.flatnonzero(fp.bc_mask_np)[0]].set(1.0)
+    assert np.allclose(np.asarray(rt["mv0"](e_bc)), np.asarray(e_bc))
+
+    K_dev = jnp.asarray(K_bc)
+
+    def mv(x):  # exact f64 operator, identity on bc rows
+        xz = jnp.where(mask, 0.0, x)
+        u = jnp.concatenate([xz, jnp.zeros(1, jnp.float64)])
+        y = jnp.einsum("cab,cb->ca", K_dev, u[dof])
+        out = jax.ops.segment_sum(y.ravel(), np.asarray(dof).ravel(),
+                                  num_segments=n + 1)[:-1]
+        return jnp.where(mask, x, out)
+
+    def M32(r):
+        z = mgmod.vcycle(fp.statics["mg"], rt,
+                         jnp.where(mask, 0.0, r.astype(jnp.float32)))
+        return jnp.where(mask, r, z)
+
+    rng = np.random.default_rng(7)
+    b = jnp.asarray(np.where(fp.bc_mask_np, 1e-8 * rng.normal(size=n),
+                             rng.normal(size=n)))
+    x, k = mgmod.ir_pcg(mv, rt["mv0"], M32, b, 1e-12, 2000)
+    rel = float(jnp.linalg.norm(b - mv(x)) / jnp.linalg.norm(b))
+    assert rel < 1e-11, rel

@@ -145,3 +145,19 @@ def test_newton_gmres_bicgstab(ksp):
     prob_d, T_d, _ = _heat_problem(7, "preonly", atol=1e-9)
     prob_d.solve()
     np.testing.assert_allclose(np.asarray(T.data), np.asarray(T_d.data), rtol=0, atol=1e-7)
+
+
+def test_von_mises_general_path_mg_pc():
+    """General-pipeline Newton with ``ksp_type=cg, pc_type=mg`` (the
+    aggregation-AMG preconditioner of parallel/mg.py behind the
+    petsc_options dict, README's advertised spelling) reproduces the
+    direct-solve path: identical Newton counts, displacement parity.
+    Covers solvers.NewtonSolver._mg_solve, which no other test touches."""
+    from dolfinx_external_operator_tpu.models.von_mises import solve_von_mises
+
+    direct = solve_von_mises(lc=0.5, num_increments=3)
+    amg = solve_von_mises(lc=0.5, num_increments=3,
+                          snes_opts={"ksp_type": "cg", "pc_type": "mg"})
+    assert direct["iterations"] == amg["iterations"]
+    du = np.abs(direct["results"][:, 0] - amg["results"][:, 0]).max()
+    assert du < 1e-9, du
