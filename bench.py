@@ -106,25 +106,30 @@ def _run_schedule(fp, load_steps, label, host_driver=False):
 
     Du, sig = fp.zero_state()
     newton_its = []
+    cg_its = []
     t0 = time.perf_counter()
     for i, load in enumerate(load_steps):
         Du, sig, norm, its, cg = step(Du, sig, float(load))
-        # keep `its` as a device scalar: converting per step would force a
-        # host sync (one ~10 ms tunnel round trip each) and serialize the
+        # keep `its`/`cg` as device scalars: converting per step would force
+        # a host sync (one ~10 ms tunnel round trip each) and serialize the
         # dispatch pipeline; everything is summed after the final block.
         newton_its.append(its)
+        cg_its.append(cg)
         if host_driver and i % 10 == 0:
             _log(f"  {label} step {i}: load={load:.2f} newton={int(its)} cg={int(cg)} norm={float(norm):.2e}")
     jax.block_until_ready((Du, sig))
     wall = time.perf_counter() - t0
     newton_total = int(sum(int(x) for x in newton_its))
+    cg_total = int(sum(int(x) for x in cg_its))
     _log(f"  {label}: {len(load_steps)} steps, newton_total={newton_total}, "
-         f"final norm={float(norm):.2e}")
+         f"cg_total={cg_total}, final norm={float(norm):.2e}")
     return {
         "steps": len(load_steps),
         "wall_s": round(wall, 3),
         "per_step_s": round(wall / len(load_steps), 4),
         "newton_total": newton_total,
+        "cg_total": cg_total,
+        "cg_per_step": round(cg_total / len(load_steps), 1),
         "gauss_points": fp.nc * fp.nq,
         "final_residual": float(norm),
     }

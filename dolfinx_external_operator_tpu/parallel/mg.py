@@ -27,7 +27,9 @@ gather/einsum/segment-sum — no host round-trips, no dynamic shapes:
 * **Smoother**: Chebyshev/Jacobi of fixed degree => the cycle is a FIXED
   linear operator, as CG requires; per-level spectral radii are estimated
   on-device by a few power iterations at each Newton setup.
-* **Coarsest level** (~100-300 dofs): dense f32 LU factored once per setup.
+* **Coarsest level** (~100-300 dofs): explicit dense f32 inverse computed
+  once per setup (XLA triangular solves are row-sequential on TPU; an
+  (nL, nL) matvec per application is microseconds).
 
 All preconditioner arithmetic is f32 (TPU-native); the outer CG runs in
 (emulated) f64 with the exact element-blocked operator.  A W-cycle
