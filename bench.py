@@ -135,12 +135,62 @@ def _run_schedule(fp, load_steps, label, host_driver=False):
     }
 
 
+def _init_devices():
+    """Initialize JAX and return (accel, cpu, tpu_unavailable_note).
+
+    Guards against a down/wedged TPU tunnel: the axon client retries its
+    localhost relay connection in an infinite 1/s sleep loop, so a naive
+    ``jax.devices()`` would hang the whole bench (observed 2026-08-17: relay
+    ports 8082/8083 closed, clients stuck in nanosleep for 40+ min).  Probe
+    the relay port first and fall back to host CPU — an honestly-flagged
+    CPU record beats an empty one.  A watchdog still force-emits a JSON
+    line if init wedges past the probe."""
+    import json as _json
+    import os
+    import socket
+    import threading
+
+    note = None
+    if os.environ.get("JAX_PLATFORMS", "") == "axon":
+        # 8083 = topology/devices leg, 8082 = session leg; either one
+        # listening means the relay is up
+        for port in (8083, 8082):
+            try:
+                s = socket.create_connection(("127.0.0.1", port), timeout=3)
+                s.close()
+                break
+            except OSError:
+                continue
+        else:
+            note = ("TPU tunnel relay down (ports 8082/8083 closed) at bench "
+                    "time; ran on host CPU instead")
+            _log(f"bench: {note}")
+
+    import jax
+
+    if note is not None:
+        jax.config.update("jax_platforms", "cpu")
+    jax.config.update("jax_enable_x64", True)
+
+    watchdog = threading.Timer(300.0, lambda: (
+        print(_json.dumps({
+            "metric": "mohr_coulomb_return_map_throughput",
+            "value": 0, "unit": "gauss_pts_per_sec", "vs_baseline": 0,
+            "error": "jax device init wedged >300s (TPU tunnel hung); no run",
+        }), flush=True),
+        os._exit(3)))
+    watchdog.daemon = True
+    watchdog.start()
+    accel = jax.devices()[0]
+    cpu = jax.devices("cpu")[0]
+    watchdog.cancel()
+    return accel, cpu, note
+
+
 def main():
     import jax
 
-    jax.config.update("jax_enable_x64", True)
-    accel = jax.devices()[0]
-    cpu = jax.devices("cpu")[0]
+    accel, cpu, tpu_note = _init_devices()
 
     from dolfinx_external_operator_tpu.models.mohr_coulomb import MohrCoulombMaterial
 
@@ -166,7 +216,9 @@ def main():
     _log("bench: scaling curve (fused AMG-CG path, sorted kernel)...")
     scaling = {}
     short = full_schedule[:3]
-    for nx in (50, 100, 200):
+    # on the CPU-fallback emergency path keep only the smallest scaling
+    # size: 100/200 host runs would blow the driver's bench budget
+    for nx in ((50,) if tpu_note else (50, 100, 200)):
         # one flaky size (tunnel hiccup, compile-helper timeout) must not
         # void the whole bench record
         try:
@@ -196,6 +248,7 @@ def main():
                     "reference stack (dolfinx+PETSc/MUMPS) not installed on "
                     "this machine; CPU numbers run the SAME JAX pipeline on "
                     "host CPU (equal algorithmic footing, hardware ratio)"),
+                **({"tpu_unavailable": tpu_note} if tpu_note else {}),
             }
         )
     )
