@@ -308,6 +308,11 @@ class NewtonSolver:
                 # PETSc KSP default maxits parity (10000); the breakdown
                 # guard in _ebe_pcg exits earlier at the rounding floor
                 maxiter = self.ksp_max_it if self.ksp_max_it is not None else min(10 * n, 10000)
+                if self.pc_type == "mg" and self.ksp_type != "cg":
+                    raise NotImplementedError(
+                        "pc_type='mg' is implemented for ksp_type='cg' only "
+                        "(the AMG cycle is SPD; gmres/bicgstab use "
+                        "pc_type='jacobi')")
                 if self.ksp_type == "cg" and self.pc_type == "mg":
                     delta, k = self._mg_solve(problem, elems, mask, -r, maxiter)
                     self.ksp_iterations += int(k)

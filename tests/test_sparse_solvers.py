@@ -161,3 +161,14 @@ def test_von_mises_general_path_mg_pc():
     assert direct["iterations"] == amg["iterations"]
     du = np.abs(direct["results"][:, 0] - amg["results"][:, 0]).max()
     assert du < 1e-9, du
+
+
+def test_mg_requires_cg():
+    """pc_type='mg' with a non-cg ksp_type raises instead of silently
+    falling back to Jacobi."""
+    import pytest
+
+    prob, T, _ = _heat_problem(5, "gmres", atol=1e-9)
+    prob.solver.pc_type = "mg"
+    with pytest.raises(NotImplementedError, match="mg"):
+        prob.solve()
