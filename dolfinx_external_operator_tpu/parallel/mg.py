@@ -450,14 +450,24 @@ def _power_lmax(matvec, dinv, n, iters, dtype=_F32):
     return 1.1 * lam
 
 
-def mg_setup(statics, K0_cell_f32, dofmap, bc_mask, n0, psum=None, *, power_iters=8):
+def mg_setup(statics, K0_cell_f32, dofmap, bc_mask, n0, psum=None, *, power_iters=8,
+             mv0_mode="scalar", bs=2):
     """Per-Newton value computation: coarse ELL values, Jacobi diagonals,
     Chebyshev bounds, coarsest dense LU.  All f32, all fixed shapes.
 
     ``dofmap`` is the (possibly padded) (nc, nk) level-0 dof array with
     dummy index n0; under shard_map the cell axis of ``K0_cell_f32`` /
     ``dofmap`` / the transfer-0 statics is sharded and ``psum`` reduces the
-    scattered results (coarse levels are replicated)."""
+    scattered results (coarse levels are replicated).
+
+    ``mv0_mode``: layout of the level-0 gather/scatter — the dominant cost
+    of a V-cycle application (TPU gathers/scatters pay per indexed element,
+    ~15 ns each; NOTES.md op-cost table).
+    - ``"scalar"``: per-dof indices (nc*nk elements each way).
+    - ``"node"``: per-NODE indices with ``bs``-wide contiguous component
+      rows (nc*nk/bs elements each way) — exploits the unrolled-dofmap
+      convention ``dof = scalar_dof * bs + component``
+      (functionspace.py ``unrolled_dofmap``)."""
     if psum is None:
         psum = lambda x: x
     levels, transfers = statics["levels"], statics["transfers"]
@@ -468,7 +478,9 @@ def mg_setup(statics, K0_cell_f32, dofmap, bc_mask, n0, psum=None, *, power_iter
         dofmap.ravel(), num_segments=n0 + 1)[:-1])
     d0 = jnp.where(jnp.abs(d0) > 1e-30, d0, 1.0)
 
-    def mv0(x):
+    nc, nk = dofmap.shape
+
+    def mv0_scalar(x):
         xz = jnp.where(free, x, 0.0).astype(_F32)
         u = jnp.concatenate([xz, jnp.zeros(1, _F32)])
         y = jnp.einsum("cab,cb->ca", K0_cell_f32, u[dofmap])
@@ -482,6 +494,22 @@ def mg_setup(statics, K0_cell_f32, dofmap, bc_mask, n0, psum=None, *, power_iter
         # the von Mises general path.  With identity rows the bc block is a
         # perfectly-conditioned sub-problem the iteration solves exactly.
         return jnp.where(free, out, x.astype(_F32))
+
+    ns = n0 // bs
+    # node index of every bs-th unrolled dof; padding rows (value n0) land
+    # on the dummy node ns
+    ndof = dofmap[:, ::bs] // bs  # (nc, nk/bs)
+
+    def mv0_node(x):
+        xz = jnp.where(free, x, 0.0).astype(_F32).reshape(ns, bs)
+        u = jnp.concatenate([xz, jnp.zeros((1, bs), _F32)])
+        y = jnp.einsum("cab,cb->ca", K0_cell_f32, u[ndof].reshape(nc, nk))
+        out = psum(jax.ops.segment_sum(
+            y.reshape(nc * (nk // bs), bs), ndof.ravel(),
+            num_segments=ns + 1)[:-1]).reshape(-1)
+        return jnp.where(free, out, x.astype(_F32))  # identity bc rows (above)
+
+    mv0 = mv0_node if mv0_mode == "node" else mv0_scalar
 
     rt = {"d0": d0, "mv0": mv0,
           "lmax0": _power_lmax(mv0, 1.0 / d0, n0, power_iters)}

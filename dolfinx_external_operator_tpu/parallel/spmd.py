@@ -349,6 +349,9 @@ class FusedPlasticityStep:
         # transfer/segment-sum cost dwarfs the few extra CG iterations
         mg_opts.setdefault("galerkin_levels",
                            None if self.n_dofs <= 30_000 else 1)
+        # level-0 gather/scatter layout (mg.mg_setup mv0_mode): node-row
+        # indexing halves the indexed-element count for vector spaces
+        self._mg_mv0_mode = mg_opts.pop("mv0_mode", "scalar")
         mgs = _mg.build_mg_statics(self.mesh, self.V, self.bc_mask_np, K_el,
                                    **{k: v for k, v in mg_opts.items()
                                       if k != "gamma_coarse"})
@@ -536,15 +539,37 @@ class FusedPlasticityStep:
                                 st["B"], C_tang, st["B"], st["wdet"])
             K_cell = K_cell * km[:, :, None] * km[:, None, :]
             rt = _mg.mg_setup(st["mg"], K_cell.astype(jnp.float32), dof,
-                              mask, n_dofs, psum)
+                              mask, n_dofs, psum,
+                              mv0_mode=self._mg_mv0_mode, bs=self.V.bs)
 
-            def mv(x):  # exact f64 operator, identity rows on bc dofs
-                xz = jnp.where(mask, 0.0, x)
-                u = jnp.concatenate([xz, jnp.zeros(1, _F)])
-                y = jnp.einsum("cab,cb->ca", K_cell, u[dof])
-                out = psum(jax.ops.segment_sum(
-                    y.ravel(), dof.ravel(), num_segments=n_dofs + 1)[:-1])
-                return jnp.where(mask, x, out)
+            if self._mg_mv0_mode == "node":
+                # node-row layout for the exact f64 operator too: at 45 ms
+                # per f64 EBE matvec at 100x100 (NOTES op-cost table) the
+                # per-refinement-round f64 matvec is a real share of the
+                # solve; halving its indexed elements matters as much as
+                # for the f32 iteration
+                bs = self.V.bs
+                nc_l, nk = dof.shape
+                ndof = dof[:, ::bs] // bs
+                ns = n_dofs // bs
+
+                def mv(x):
+                    xz = jnp.where(mask, 0.0, x).reshape(ns, bs)
+                    u = jnp.concatenate([xz, jnp.zeros((1, bs), _F)])
+                    y = jnp.einsum("cab,cb->ca", K_cell,
+                                   u[ndof].reshape(nc_l, nk))
+                    out = psum(jax.ops.segment_sum(
+                        y.reshape(nc_l * (nk // bs), bs), ndof.ravel(),
+                        num_segments=ns + 1)[:-1]).reshape(-1)
+                    return jnp.where(mask, x, out)
+            else:
+                def mv(x):  # exact f64 operator, identity rows on bc dofs
+                    xz = jnp.where(mask, 0.0, x)
+                    u = jnp.concatenate([xz, jnp.zeros(1, _F)])
+                    y = jnp.einsum("cab,cb->ca", K_cell, u[dof])
+                    out = psum(jax.ops.segment_sum(
+                        y.ravel(), dof.ravel(), num_segments=n_dofs + 1)[:-1])
+                    return jnp.where(mask, x, out)
 
             def M32(r):
                 z = _mg.vcycle(st["mg"], rt,

@@ -289,3 +289,44 @@ def test_ir_pcg_nonzero_bc_rows():
     x, k = mgmod.ir_pcg(mv, rt["mv0"], M32, b, 1e-12, 2000)
     rel = float(jnp.linalg.norm(b - mv(x)) / jnp.linalg.norm(b))
     assert rel < 1e-11, rel
+
+
+def test_mv0_node_mode_matches_scalar():
+    """mg_setup(mv0_mode="node") — node-row (bs-wide) gather/scatter for the
+    level-0 matvec — is numerically identical to the scalar layout (same
+    additions in a different association only across the bs axis), and the
+    full fused-mg solve with it reproduces the scalar path bitwise."""
+    from dolfinx_external_operator_tpu.parallel import mg as mgmod
+
+    mesh, V, S, kernel, bc_dofs = _slope_fixture(Nx=10)
+    fp = FusedPlasticityStep(mesh, V, S, kernel, bc_dofs, linear_solver="mg")
+    n = V.num_dofs
+    dof = fp.statics["dofmap"]
+    mask = fp.statics["bc_mask"]
+
+    C_el = np.asarray(kernel(jnp.zeros(4), jnp.zeros(4))[0])
+    B_np = np.asarray(fp.statics["B"])[: fp.nc]
+    K_cell = np.einsum("cqik,ij,cqjl,cq->ckl", B_np, C_el, B_np, fp._wdet)
+    keep = ~fp.bc_mask_np
+    km = np.concatenate([keep, [False]])[np.asarray(dof)].astype(float)
+    K_pad = np.zeros((dof.shape[0],) + K_cell.shape[1:])
+    K_pad[: fp.nc] = K_cell
+    K_bc = jnp.asarray(K_pad * km[:, :, None] * km[:, None, :], jnp.float32)
+
+    rt_s = mgmod.mg_setup(fp.statics["mg"], K_bc, dof, mask, n, mv0_mode="scalar")
+    rt_n = mgmod.mg_setup(fp.statics["mg"], K_bc, dof, mask, n, mv0_mode="node")
+
+    rng = np.random.default_rng(3)
+    x = jnp.asarray(rng.normal(size=n), jnp.float32)
+    ys = np.asarray(rt_s["mv0"](x))
+    yn = np.asarray(rt_n["mv0"](x))
+    assert np.allclose(ys, yn, rtol=1e-6, atol=1e-6 * np.abs(ys).max())
+
+    # end-to-end: identical Newton counts and matching iterates
+    loads = [2.0, 6.0, 10.0]
+    fp_n = FusedPlasticityStep(mesh, V, S, kernel, bc_dofs, linear_solver="mg",
+                               mg_opts={"mv0_mode": "node"})
+    Du_s, hist_s = _run(fp, loads)
+    Du_n, hist_n = _run(fp_n, loads)
+    assert [h[0] for h in hist_s] == [h[0] for h in hist_n]
+    assert np.max(np.abs(Du_s - Du_n)) < 1e-10
