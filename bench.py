@@ -263,12 +263,18 @@ def main():
             r = _run_schedule(fp, short, f"tpu-{nx}x{nx}", host_driver=host)
             if host:
                 r["driver"] = "host (1 Newton/execution, EW forcing)"
-            r["kernel_pts_per_s"] = round(
-                _kernel_throughput(mat, accel, fp.nc * fp.nq, reps=5, sorted_chunk=8192), 1)
         except Exception as e:  # noqa: BLE001
             _log(f"  tpu-{nx}x{nx} FAILED: {e}")
             r = {"error": f"{type(e).__name__}: {e}"[:200]}
         scaling[f"{nx}x{nx}"] = r
+        if "error" in r:
+            continue
+        try:  # a throughput-rep hiccup must not void the schedule numbers
+            r["kernel_pts_per_s"] = round(
+                _kernel_throughput(mat, accel, fp.nc * fp.nq, reps=5, sorted_chunk=8192), 1)
+        except Exception as e:  # noqa: BLE001
+            _log(f"  tpu-{nx}x{nx} kernel throughput FAILED: {e}")
+            r["kernel_pts_per_s_error"] = f"{type(e).__name__}: {e}"[:200]
 
     watchdog.cancel()
     print(json.dumps(record))

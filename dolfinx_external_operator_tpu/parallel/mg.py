@@ -310,7 +310,14 @@ def build_mg_statics(mesh, V, bc_mask, K0_cell_elastic, *,
     ``vcycle`` after the caller device-puts them (see FusedPlasticityStep).
     """
     bs = V.bs
-    assert bs == 2, "mg hierarchy implements the 2D vector (RBM) case"
+    if bs != 2:
+        # typed error (not assert): reachable from user petsc_options
+        # (pc_type='mg' on a scalar space, e.g. the heat demos), and an
+        # -O run must not silently build a bs=2 RBM nullspace for it
+        raise NotImplementedError(
+            "the mg hierarchy implements the 2D vector (rigid-body-mode) "
+            f"case, bs == 2; this space has bs == {bs} — use "
+            "pc_type='jacobi' (ksp_type='cg') instead")
     n0 = V.num_dofs
     dm0 = V.unrolled_dofmap.astype(np.int64)
     bc_mask = np.asarray(bc_mask, dtype=bool)
@@ -450,6 +457,65 @@ def _power_lmax(matvec, dinv, n, iters, dtype=_F32):
     return 1.1 * lam
 
 
+def ebe_matvec(K_blocks, dofmap, bc_mask, n, psum=None, *, mode="scalar", bs=2):
+    """Element-blocked matvec ``x -> A x`` with IDENTITY rows on bc dofs.
+
+    The identity-bc-row invariant is load-bearing: a zero bc row makes the
+    (f32) system singular, and any nonzero bc component of a refinement
+    residual (e.g. the first Newton step after a load-step
+    re-initialization of Du, bc rows ~1e-8) becomes an irreducible
+    direction that poisons the inner CG — observed as immediate stagnation
+    at ~1e-3 relative on the von Mises general path.  With identity rows
+    the bc block is a perfectly-conditioned sub-problem the iteration
+    solves exactly.  EVERY element-blocked operator in the mg stack (f32
+    iteration matvec, f64 refinement operator) must go through this one
+    helper so the invariant lives in one place.
+
+    ``dofmap`` is the (possibly padded) (nc, nk) unrolled dof array with
+    dummy index ``n``; ``K_blocks`` (nc, nk, nk) must already be
+    bc-masked (km outer product) by the caller.  The matvec runs in
+    ``K_blocks.dtype``.
+
+    ``mode`` picks the gather/scatter layout — the dominant cost on TPU,
+    which pays per indexed element (~15 ns each; NOTES.md op-cost table):
+    - ``"scalar"``: per-dof indices (nc*nk elements each way).
+    - ``"node"``: per-NODE indices with ``bs``-wide contiguous component
+      rows (nc*nk/bs elements each way) — exploits the unrolled-dofmap
+      convention ``dof = scalar_dof * bs + component``
+      (functionspace.py ``unrolled_dofmap``).
+    """
+    if psum is None:
+        psum = lambda x: x
+    dt = K_blocks.dtype
+    free = ~bc_mask
+    nc, nk = dofmap.shape
+
+    if mode == "node":
+        ns = n // bs
+        # node index of every bs-th unrolled dof; padding rows (value n)
+        # land on the dummy node ns
+        ndof = dofmap[:, ::bs] // bs  # (nc, nk/bs)
+
+        def mv(x):
+            xz = jnp.where(free, x, 0.0).astype(dt).reshape(ns, bs)
+            u = jnp.concatenate([xz, jnp.zeros((1, bs), dt)])
+            y = jnp.einsum("cab,cb->ca", K_blocks, u[ndof].reshape(nc, nk))
+            out = psum(jax.ops.segment_sum(
+                y.reshape(nc * (nk // bs), bs), ndof.ravel(),
+                num_segments=ns + 1)[:-1]).reshape(-1)
+            return jnp.where(free, out, x.astype(dt))
+    else:
+        def mv(x):
+            xz = jnp.where(free, x, 0.0).astype(dt)
+            u = jnp.concatenate([xz, jnp.zeros(1, dt)])
+            y = jnp.einsum("cab,cb->ca", K_blocks, u[dofmap])
+            out = psum(jax.ops.segment_sum(
+                y.ravel(), dofmap.ravel(), num_segments=n + 1)[:-1])
+            return jnp.where(free, out, x.astype(dt))
+
+    return mv
+
+
 def mg_setup(statics, K0_cell_f32, dofmap, bc_mask, n0, psum=None, *, power_iters=8,
              mv0_mode="scalar", bs=2):
     """Per-Newton value computation: coarse ELL values, Jacobi diagonals,
@@ -460,56 +526,19 @@ def mg_setup(statics, K0_cell_f32, dofmap, bc_mask, n0, psum=None, *, power_iter
     ``dofmap`` / the transfer-0 statics is sharded and ``psum`` reduces the
     scattered results (coarse levels are replicated).
 
-    ``mv0_mode``: layout of the level-0 gather/scatter — the dominant cost
-    of a V-cycle application (TPU gathers/scatters pay per indexed element,
-    ~15 ns each; NOTES.md op-cost table).
-    - ``"scalar"``: per-dof indices (nc*nk elements each way).
-    - ``"node"``: per-NODE indices with ``bs``-wide contiguous component
-      rows (nc*nk/bs elements each way) — exploits the unrolled-dofmap
-      convention ``dof = scalar_dof * bs + component``
-      (functionspace.py ``unrolled_dofmap``)."""
+    ``mv0_mode``/``bs``: level-0 gather/scatter layout — see
+    ``ebe_matvec``."""
     if psum is None:
         psum = lambda x: x
     levels, transfers = statics["levels"], statics["transfers"]
-    free = ~bc_mask
 
     d0 = psum(jax.ops.segment_sum(
         jnp.einsum("ckk->ck", K0_cell_f32).ravel(),
         dofmap.ravel(), num_segments=n0 + 1)[:-1])
     d0 = jnp.where(jnp.abs(d0) > 1e-30, d0, 1.0)
 
-    nc, nk = dofmap.shape
-
-    def mv0_scalar(x):
-        xz = jnp.where(free, x, 0.0).astype(_F32)
-        u = jnp.concatenate([xz, jnp.zeros(1, _F32)])
-        y = jnp.einsum("cab,cb->ca", K0_cell_f32, u[dofmap])
-        out = psum(jax.ops.segment_sum(y.ravel(), dofmap.ravel(), num_segments=n0 + 1)[:-1])
-        # IDENTITY (not zero) on bc rows, matching the exact f64 operator
-        # of every caller: a zero bc row makes the f32 system singular, and
-        # any nonzero bc component of the refinement residual (e.g. the
-        # first Newton step after a load-step re-initialization of Du, bc
-        # rows ~1e-8) becomes an irreducible direction that poisons the
-        # inner CG — observed as immediate stagnation at ~1e-3 relative on
-        # the von Mises general path.  With identity rows the bc block is a
-        # perfectly-conditioned sub-problem the iteration solves exactly.
-        return jnp.where(free, out, x.astype(_F32))
-
-    ns = n0 // bs
-    # node index of every bs-th unrolled dof; padding rows (value n0) land
-    # on the dummy node ns
-    ndof = dofmap[:, ::bs] // bs  # (nc, nk/bs)
-
-    def mv0_node(x):
-        xz = jnp.where(free, x, 0.0).astype(_F32).reshape(ns, bs)
-        u = jnp.concatenate([xz, jnp.zeros((1, bs), _F32)])
-        y = jnp.einsum("cab,cb->ca", K0_cell_f32, u[ndof].reshape(nc, nk))
-        out = psum(jax.ops.segment_sum(
-            y.reshape(nc * (nk // bs), bs), ndof.ravel(),
-            num_segments=ns + 1)[:-1]).reshape(-1)
-        return jnp.where(free, out, x.astype(_F32))  # identity bc rows (above)
-
-    mv0 = mv0_node if mv0_mode == "node" else mv0_scalar
+    mv0 = ebe_matvec(K0_cell_f32, dofmap, bc_mask, n0, psum,
+                     mode=mv0_mode, bs=bs)
 
     rt = {"d0": d0, "mv0": mv0,
           "lmax0": _power_lmax(mv0, 1.0 / d0, n0, power_iters)}
@@ -591,8 +620,8 @@ def _prolong(t, x_c):
     return jnp.einsum("np,np->n", t["P_w"], x_c[t["P_idx"]])
 
 
-def ir_pcg(mv64, mv32, M32, b, rtol, maxiter, *, max_rounds=6, inner_floor=1e-6,
-           inner_cap=600, stall_window=30):
+def ir_pcg(mv64, mv32, M32, b, rtol, maxiter, *, atol=0.0, max_rounds=6,
+           inner_floor=1e-6, inner_cap=600, stall_window=30):
     """Mixed-precision solve: f32 PCG rounds inside f64 iterative
     refinement.
 
@@ -610,7 +639,8 @@ def ir_pcg(mv64, mv32, M32, b, rtol, maxiter, *, max_rounds=6, inner_floor=1e-6,
     """
     f64 = b.dtype
     bnorm = jnp.sqrt(jnp.vdot(b, b))
-    target = rtol * bnorm
+    # PETSc KSP convergence convention: |r| <= max(rtol*|b|, atol)
+    target = jnp.maximum(rtol * bnorm, atol)
 
     def pcg32(r32, tgt, it_budget):
         """Safeguarded f32 PCG on A dx = r32 down to |r| <= tgt.

@@ -542,34 +542,12 @@ class FusedPlasticityStep:
                               mask, n_dofs, psum,
                               mv0_mode=self._mg_mv0_mode, bs=self.V.bs)
 
-            if self._mg_mv0_mode == "node":
-                # node-row layout for the exact f64 operator too: at 45 ms
-                # per f64 EBE matvec at 100x100 (NOTES op-cost table) the
-                # per-refinement-round f64 matvec is a real share of the
-                # solve; halving its indexed elements matters as much as
-                # for the f32 iteration
-                bs = self.V.bs
-                nc_l, nk = dof.shape
-                ndof = dof[:, ::bs] // bs
-                ns = n_dofs // bs
-
-                def mv(x):
-                    xz = jnp.where(mask, 0.0, x).reshape(ns, bs)
-                    u = jnp.concatenate([xz, jnp.zeros((1, bs), _F)])
-                    y = jnp.einsum("cab,cb->ca", K_cell,
-                                   u[ndof].reshape(nc_l, nk))
-                    out = psum(jax.ops.segment_sum(
-                        y.reshape(nc_l * (nk // bs), bs), ndof.ravel(),
-                        num_segments=ns + 1)[:-1]).reshape(-1)
-                    return jnp.where(mask, x, out)
-            else:
-                def mv(x):  # exact f64 operator, identity rows on bc dofs
-                    xz = jnp.where(mask, 0.0, x)
-                    u = jnp.concatenate([xz, jnp.zeros(1, _F)])
-                    y = jnp.einsum("cab,cb->ca", K_cell, u[dof])
-                    out = psum(jax.ops.segment_sum(
-                        y.ravel(), dof.ravel(), num_segments=n_dofs + 1)[:-1])
-                    return jnp.where(mask, x, out)
+            # exact f64 operator, identity rows on bc dofs; shares the
+            # mv0 layout choice — at 100x100 one f64 EBE matvec is 45 ms
+            # (NOTES op-cost table) and runs once per refinement round,
+            # a real share of the solve
+            mv = _mg.ebe_matvec(K_cell, dof, mask, n_dofs, psum,
+                                mode=self._mg_mv0_mode, bs=self.V.bs)
 
             def M32(r):
                 z = _mg.vcycle(st["mg"], rt,
@@ -897,7 +875,11 @@ class FusedPlasticityStep:
         norm = None
         sigma = sigma_n
         converged = False
-        # newton_max_it updating executions + one closing its==0 execution
+        # up to newton_max_it updating executions + one closing its==0
+        # execution; the loop cannot stop mid-budget without the closing
+        # execution because each execution reports the residual of the
+        # iterate it STARTED from (the post-update residual is only known
+        # to the next execution)
         for _ in range(self.newton_max_it + 1):
             if forcing and norm0 is not None and norm is not None and norm0 > 0:
                 eta = float(np.sqrt(max(min(norm / norm0, 1.0), 0.0)))
@@ -922,10 +904,16 @@ class FusedPlasticityStep:
                 converged = True
                 break
         if not converged:
+            # its_total may be newton_max_it + 1 here: the final execution
+            # is the only chance to OBSERVE convergence of the max_it-th
+            # update (its == 0), and if that iterate was still unconverged
+            # it performed one further update whose residual is unknown —
+            # quote the last OBSERVED residual and the update count honestly
             raise RuntimeError(
-                f"host-driven Newton failed to converge in {self.newton_max_it} "
-                f"updates: |r| = {norm:.3e}, target "
-                f"{max(self.newton_atol, self.newton_rtol * (norm0 or 0.0)):.3e}")
+                f"host-driven Newton failed to converge within "
+                f"{self.newton_max_it} updates ({its_total} performed; last "
+                f"observed |r| = {norm:.3e} predates the final update), "
+                f"target {max(self.newton_atol, self.newton_rtol * (norm0 or 0.0)):.3e}")
         return Du, sigma, norm_j, jnp.asarray(its_total), jnp.asarray(cg_total)
 
     def zero_state(self):

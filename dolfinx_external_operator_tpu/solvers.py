@@ -242,7 +242,11 @@ class NewtonSolver:
         K_cell, tdofs, udofs = elems[0]
         if self._mg is None:
             V = problem.J.test_space
-            assert bool(jnp.all(tdofs == udofs)), "mg needs test dofs == trial dofs"
+            if not bool(jnp.all(tdofs == udofs)):
+                raise NotImplementedError(
+                    "pc_type='mg' needs test dofs == trial dofs (the "
+                    "symmetric displacement-block case); this Jacobian's "
+                    "cell batch maps different spaces — use pc_type='jacobi'")
             statics_np = mgmod.build_mg_statics(
                 problem.J.mesh, V, np.asarray(mask), np.asarray(K_cell),
                 # same large-mesh default as FusedPlasticityStep._setup_mg:
@@ -260,12 +264,9 @@ class NewtonSolver:
                 Kb = K_cell * km[:, :, None] * km[:, None, :]
                 rt = mgmod.mg_setup(statics, Kb.astype(_F32), tdofs, mask, n)
 
-                def mv(x):
-                    xz = jnp.where(mask, 0.0, x)
-                    y = jnp.einsum("cab,cb->ca", Kb, xz[tdofs])
-                    out = jax.ops.segment_sum(y.ravel(), tdofs.ravel(),
-                                              num_segments=n)
-                    return jnp.where(mask, x, out)
+                # exact f64 operator via the one shared element-blocked
+                # matvec (identity-bc-row invariant lives in ebe_matvec)
+                mv = mgmod.ebe_matvec(Kb, tdofs, mask, n)
 
                 def M32(r):
                     z = mgmod.vcycle(statics, rt,
@@ -274,8 +275,10 @@ class NewtonSolver:
                     return jnp.where(mask, r, z)
 
                 # mixed-precision IR-PCG (f32 iteration, f64 refinement;
-                # see mg.ir_pcg) with the shared safeguard structure
-                return mgmod.ir_pcg(mv, rt["mv0"], M32, b, rtol, maxiter)
+                # see mg.ir_pcg) with the shared safeguard structure;
+                # atol keeps KSP-convergence parity with the jacobi path
+                return mgmod.ir_pcg(mv, rt["mv0"], M32, b, rtol, maxiter,
+                                    atol=atol)
 
             self._mg = mg_pcg
         return self._mg(K_cell, b, self.ksp_rtol, self.ksp_atol, maxiter)
@@ -285,6 +288,15 @@ class NewtonSolver:
         n = u.function_space.num_dofs
         mask, g = bc_arrays(problem.bcs, n)
         matrix_free = self.ksp_type in ("cg", "gmres", "bicgstab")
+        if self.pc_type == "mg" and self.ksp_type != "cg":
+            # must fire for preonly (the default) too — falling through to
+            # the dense direct path would silently LU-factorize an (n, n)
+            # matrix at exactly the mesh sizes mg exists for
+            raise NotImplementedError(
+                "pc_type='mg' is implemented for ksp_type='cg' only "
+                "(the AMG cycle is SPD; gmres/bicgstab use pc_type='jacobi', "
+                "and the default ksp_type='preonly' is the dense direct "
+                "solver)")
 
         def residual():
             """BC-adjusted residual WITHOUT assembling the Jacobian: the
@@ -308,11 +320,6 @@ class NewtonSolver:
                 # PETSc KSP default maxits parity (10000); the breakdown
                 # guard in _ebe_pcg exits earlier at the rounding floor
                 maxiter = self.ksp_max_it if self.ksp_max_it is not None else min(10 * n, 10000)
-                if self.pc_type == "mg" and self.ksp_type != "cg":
-                    raise NotImplementedError(
-                        "pc_type='mg' is implemented for ksp_type='cg' only "
-                        "(the AMG cycle is SPD; gmres/bicgstab use "
-                        "pc_type='jacobi')")
                 if self.ksp_type == "cg" and self.pc_type == "mg":
                     delta, k = self._mg_solve(problem, elems, mask, -r, maxiter)
                     self.ksp_iterations += int(k)

@@ -79,8 +79,8 @@ def test_galerkin_coarse_values_match_scipy():
         mgmod._csr_from_blocks(K_cell, dm.astype(np.int64), n), fp.bc_mask_np)
     P0 = mgmod._p2_to_p1_interpolation(mesh, V.bs, fp.bc_mask_np)
     K_ref = (P0.T @ K0 @ P0).tocsr()
-    for lvl, vals, t in zip(fp.statics["mg"]["levels"], rt["vals"],
-                            fp.statics["mg"]["transfers"]):
+    levels_mg = fp.statics["mg"]["levels"]
+    for k, (lvl, vals) in enumerate(zip(levels_mg, rt["vals"])):
         cols = np.asarray(lvl["cols"])
         vals = np.asarray(vals)
         rows = np.repeat(np.arange(cols.shape[0]), cols.shape[1])
@@ -88,12 +88,9 @@ def test_galerkin_coarse_values_match_scipy():
                             shape=K_ref.shape).tocsr()
         err = abs(got - K_ref).max()
         scale = abs(K_ref).max()
-        assert err < 5e-6 * scale, f"level mismatch: {err} vs scale {scale}"
+        assert err < 5e-6 * scale, f"level {k} mismatch: {err} vs scale {scale}"
         # rebuild the next reference level from this level's P
-        P_idx, P_w = np.asarray(t["P_idx"]), np.asarray(t["P_w"])
-        del P_idx, P_w
-        if lvl is not fp.statics["mg"]["levels"][-1]:
-            k = fp.statics["mg"]["levels"].index(lvl)
+        if k + 1 < len(levels_mg):
             t_next = fp.statics["mg"]["transfers"][k + 1]
             Pi, Pw = np.asarray(t_next["P_idx"]), np.asarray(t_next["P_w"])
             n_f = Pi.shape[0]

@@ -172,3 +172,43 @@ def test_mg_requires_cg():
     prob.solver.pc_type = "mg"
     with pytest.raises(NotImplementedError, match="mg"):
         prob.solve()
+
+
+def test_mg_preonly_raises_not_silent_dense():
+    """pc_type='mg' with the DEFAULT ksp_type ('preonly') must raise too —
+    falling through to the dense direct path would silently LU-factorize
+    an (n, n) matrix at exactly the mesh sizes mg exists for."""
+    import pytest
+
+    prob, T, _ = _heat_problem(5, "preonly", atol=1e-9)
+    prob.solver.pc_type = "mg"
+    with pytest.raises(NotImplementedError, match="preonly"):
+        prob.solve()
+
+
+def test_mg_scalar_space_raises_typed():
+    """pc_type='mg' on a scalar (bs=1) space raises NotImplementedError
+    with guidance (not a bare AssertionError): the hierarchy implements
+    the 2D vector RBM case only."""
+    import pytest
+
+    prob, T, _ = _heat_problem(5, "cg", atol=1e-9)
+    prob.solver.pc_type = "mg"
+    with pytest.raises(NotImplementedError, match="bs == 2"):
+        prob.solve()
+
+
+def test_mg_honors_ksp_atol():
+    """PETSc absolute-tolerance convention on the mg path: rtol=0 with a
+    loose atol must terminate on atol (target = max(rtol*|b|, atol)), like
+    the jacobi path — not spin to the refinement-round cap every Newton
+    iteration."""
+    from dolfinx_external_operator_tpu.models.von_mises import solve_von_mises
+
+    out = solve_von_mises(lc=0.5, num_increments=2,
+                          snes_opts={"ksp_type": "cg", "pc_type": "mg",
+                                     "ksp_rtol": 0.0, "ksp_atol": 1e-11})
+    ref = solve_von_mises(lc=0.5, num_increments=2)
+    assert out["iterations"] == ref["iterations"]
+    du = np.abs(out["results"][:, 0] - ref["results"][:, 0]).max()
+    assert du < 1e-8, du
