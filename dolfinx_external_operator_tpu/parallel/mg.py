@@ -593,15 +593,25 @@ def mg_setup(statics, K0_cell_f32, dofmap, bc_mask, n0, psum=None, *, power_iter
 
 def _chebyshev(matvec, dinv, b, x0, lmax, degree, lmin_frac=0.3):
     """Fixed-degree Chebyshev/Jacobi smoothing targeting the interval
-    [lmin_frac*lmax, lmax] (a FIXED linear operator of (b, x0))."""
+    [lmin_frac*lmax, lmax] (a FIXED linear operator of (b, x0)).
+
+    ``x0=None`` means a ZERO initial guess (every pre-smooth in a cycle on
+    a residual equation): the initial residual is then ``b`` itself and the
+    first matvec is skipped — one level-0 matvec per V-cycle, the single
+    most expensive op in the cycle (do not rely on XLA folding A@0)."""
     lmin = lmin_frac * lmax
     theta = 0.5 * (lmax + lmin)
     delta = 0.5 * (lmax - lmin)
     sigma = theta / delta
     rho = 1.0 / sigma
-    r = b - matvec(x0)
-    d = dinv * r / theta
-    x = x0 + d
+    if x0 is None:
+        r = b
+        d = dinv * r / theta
+        x = d
+    else:
+        r = b - matvec(x0)
+        d = dinv * r / theta
+        x = x0 + d
     for _ in range(degree - 1):
         r = r - matvec(d)
         rho_new = 1.0 / (2.0 * sigma - rho)
@@ -728,7 +738,7 @@ def vcycle(statics, rt, r0, cheb_degree=3, *, gamma_coarse=2):
         mv = lambda x: _ell_matvec(vals, lvl["cols"], x)
         dinv = 1.0 / rt["diags"][k - 1]
         lmax = rt["lmaxs"][k - 1]
-        x = _chebyshev(mv, dinv, r, jnp.zeros_like(r), lmax, deg)
+        x = _chebyshev(mv, dinv, r, None, lmax, deg)
         t_down = transfers[k]
         r_c = _restrict(t_down, r - mv(x), levels[k]["cols"].shape[0])
         x_c = level_solve(k + 1, r_c, gamma)
@@ -739,7 +749,7 @@ def vcycle(statics, rt, r0, cheb_degree=3, *, gamma_coarse=2):
         return _chebyshev(mv, dinv, r, x, lmax, deg)
 
     mv0, dinv0, lmax0 = rt["mv0"], 1.0 / rt["d0"], rt["lmax0"]
-    x0 = _chebyshev(mv0, dinv0, r0, jnp.zeros_like(r0), lmax0, deg)
+    x0 = _chebyshev(mv0, dinv0, r0, None, lmax0, deg)
     r1 = _restrict(transfers[0], r0 - mv0(x0), levels[0]["cols"].shape[0])
     x1 = level_solve(1, r1, gamma_coarse) if L > 1 else rt["coarse_inv"] @ r1
     x0 = x0 + _prolong(transfers[0], x1)
