@@ -264,6 +264,52 @@ def _galerkin_contrib_map(ell_f, P, ell_c):
     return (src[order].astype(_I), wgt[order], dst[order].astype(_I))
 
 
+def _lattice_node_perm(coords):
+    """Detect tensor-product lattice structure in 2D node coordinates.
+
+    Structured-rectangle meshes (``create_rectangle``; the headline slope
+    problems) place every scalar dof of a P1/P2 space on a complete
+    (nx, ny) grid — P2 midpoints fill the odd slots of the refined
+    lattice.  Returns ``perm_l2o`` (lattice slot -> node index, row-major
+    in (y, x)) or ``None`` when the node set is not a complete grid.
+    Uniform spacing is NOT required — only a bijection onto a tensor grid,
+    which is what gives the operator a fixed set of index offsets."""
+    n = coords.shape[0]
+    if coords.shape[1] != 2 or n == 0:
+        return None
+    xr = np.round(coords[:, 0], 9)
+    yr = np.round(coords[:, 1], 9)
+    xs = np.unique(xr)
+    ys = np.unique(yr)
+    if len(xs) * len(ys) != n:
+        return None
+    i = np.searchsorted(xs, xr)
+    j = np.searchsorted(ys, yr)
+    key = j.astype(np.int64) * len(xs) + i
+    if np.unique(key).size != n:
+        return None
+    return np.argsort(key, kind="stable")
+
+
+def _dia_matvec(bands, offsets, free_lat, x):
+    """Banded (DIA) matvec in lattice numbering with identity bc rows.
+
+    ``bands`` (nb, n): band k holds A[r, r + offsets[k]] at slot r;
+    ``offsets`` a STATIC tuple of ints.  The matvec is shifted slices +
+    FMAs — zero gathers/scatters, which on TPU cost ~15 ns per indexed
+    element and dominate every other operator format (NOTES.md op-cost
+    table).  Out-of-range slots hold zeros by construction (no wraparound:
+    band values come from actual pattern entries)."""
+    n = x.shape[0]
+    dt = bands.dtype
+    w = max(max(abs(o) for o in offsets), 1)
+    xp = jnp.zeros(n + 2 * w, dt).at[w:w + n].set(x.astype(dt))
+    out = jnp.zeros(n, dt)
+    for k, off in enumerate(offsets):
+        out = out + bands[k] * jax.lax.dynamic_slice_in_dim(xp, w + off, n)
+    return jnp.where(free_lat, out, x.astype(dt))
+
+
 def _ell_vals_from_csr(K, ell):
     """Map CSR values into an ELL layout's flat value vector (the layout's
     pattern is a structural superset of K's by construction)."""
@@ -278,7 +324,8 @@ def _ell_vals_from_csr(K, ell):
 
 def build_mg_statics(mesh, V, bc_mask, K0_cell_elastic, *,
                      coarse_target=150, max_levels=8, smooth_sa=True,
-                     cheb_degree=3, galerkin_levels=None, verbose=False):
+                     cheb_degree=3, galerkin_levels=None, dia=False,
+                     verbose=False):
     """Build the fixed multigrid hierarchy (host, once per problem).
 
     Parameters
@@ -322,8 +369,8 @@ def build_mg_statics(mesh, V, bc_mask, K0_cell_elastic, *,
     dm0 = V.unrolled_dofmap.astype(np.int64)
     bc_mask = np.asarray(bc_mask, dtype=bool)
 
-    K0 = _eliminate_bc(
-        _csr_from_blocks(np.asarray(K0_cell_elastic, np.float64), dm0, n0), bc_mask)
+    K0_raw = _csr_from_blocks(np.asarray(K0_cell_elastic, np.float64), dm0, n0)
+    K0 = _eliminate_bc(K0_raw, bc_mask)
 
     # ---- transfer 0: geometric p-coarsening (P2 -> P1), cell-local -------
     degree = V.element.degree
@@ -376,6 +423,49 @@ def build_mg_statics(mesh, V, bc_mask, K0_cell_elastic, *,
                   "P_idx": P0_idx.astype(_I),
                   "P_w": P0_w.astype(np.float32)}]
 
+    # ---- optional DIA (stencil-banded) level-0 operator -------------------
+    # On lattice-structured meshes the level-0 matvec becomes shifted
+    # slices + FMAs in an internal lexicographic numbering — zero
+    # gathers/scatters (see _dia_matvec).  The lattice layout is PRIVATE to
+    # the inner f32 iteration: ir_pcg permutes at the refinement-round
+    # boundary (~4 gathers per solve), everything framework-facing keeps
+    # the original numbering.
+    dia_info = None
+    if dia:
+        if degree == 2:
+            node_xy = np.vstack([mesh.points[:, :2],
+                                 mesh.points[mesh.edges, :2].mean(axis=1)])
+        else:
+            node_xy = mesh.points[:, :2]
+        node_perm = _lattice_node_perm(node_xy)
+        if node_perm is not None:
+            perm0_l2o = (node_perm[:, None] * bs
+                         + np.arange(bs)[None, :]).ravel()  # lattice dof -> orig dof
+            perm0_o2l = np.empty(n0, np.int64)
+            perm0_o2l[perm0_l2o] = np.arange(n0)
+            coo = K0_raw.tocoo()
+            offs = np.unique(perm0_o2l[coo.col] - perm0_o2l[coo.row])
+            if offs.size <= 128:
+                # contribution map: (cell, a, b) -> band(col-row)*n0 + row,
+                # all in lattice numbering; every pair is structurally in
+                # K0_raw by construction so the searchsorted always hits
+                rlat = perm0_o2l[dm0]  # (nc, nk0)
+                off_ab = rlat[:, None, :] - rlat[:, :, None]  # (nc, a, b): col-row
+                band = np.searchsorted(offs, off_ab)
+                dia0_dst = (band * np.int64(n0)
+                            + rlat[:, :, None]).reshape(nc, -1)
+                # rows in lattice order for the transfer-0 restrict/prolong
+                # (they run on lattice-layout level-0 vectors inside vcycle)
+                transfers[0]["P_idx"] = P0_idx[perm0_l2o].astype(_I)
+                transfers[0]["P_w"] = P0_w[perm0_l2o].astype(np.float32)
+                dia_info = {
+                    "dia0_dst": dia0_dst.astype(np.int64 if offs.size * n0 > 2**31 - 1 else _I),
+                    "perm0_l2o": perm0_l2o.astype(_I),
+                    "perm0_o2l": perm0_o2l.astype(_I),
+                    "mask0_lat": bc_mask[perm0_l2o],
+                    "dia0_offsets": tuple(int(o) for o in offs),
+                }
+
     # ---- aggregation levels ----------------------------------------------
     # near-nullspace at the P1 level: 2D rigid-body modes, zeroed on bc
     # (P1 vertex dofs share their indices with the fine vertex dofs)
@@ -426,12 +516,15 @@ def build_mg_statics(mesh, V, bc_mask, K0_cell_elastic, *,
         lvl.pop("n"), lvl.pop("m")
     for t in transfers:
         t.pop("nnz_flat", None)
-    return {
+    out = {
         "levels": levels,
         "transfers": transfers,
         "coarse_rows": np.tile(np.arange(nL, dtype=_I)[:, None], (1, mL)),
         "cheb_degree": cheb_degree,
     }
+    if dia_info is not None:
+        out.update(dia_info)
+    return out
 
 
 # ======================================================================
@@ -517,7 +610,7 @@ def ebe_matvec(K_blocks, dofmap, bc_mask, n, psum=None, *, mode="scalar", bs=2):
 
 
 def mg_setup(statics, K0_cell_f32, dofmap, bc_mask, n0, psum=None, *, power_iters=8,
-             mv0_mode="scalar", bs=2):
+             mv0_mode="scalar", bs=2, dia=None):
     """Per-Newton value computation: coarse ELL values, Jacobi diagonals,
     Chebyshev bounds, coarsest dense LU.  All f32, all fixed shapes.
 
@@ -527,18 +620,37 @@ def mg_setup(statics, K0_cell_f32, dofmap, bc_mask, n0, psum=None, *, power_iter
     scattered results (coarse levels are replicated).
 
     ``mv0_mode``/``bs``: level-0 gather/scatter layout — see
-    ``ebe_matvec``."""
+    ``ebe_matvec``.
+
+    ``dia``: stencil-banded level-0 operator (lattice meshes).  A dict
+    ``{"dst": (nc, nk*nk) padded contribution map (dummy = nb*n0),
+    "offsets": STATIC tuple of band offsets, "mask_lat": (n0,) bc mask in
+    lattice numbering}`` — see ``build_mg_statics(dia=True)`` /
+    ``_dia_matvec``.  Level-0 runtime vectors (mv0, d0, the V-cycle input)
+    are then in the LATTICE numbering; callers permute at the
+    refinement-round boundary (``ir_pcg`` to_inner/from_inner)."""
     if psum is None:
         psum = lambda x: x
     levels, transfers = statics["levels"], statics["transfers"]
 
-    d0 = psum(jax.ops.segment_sum(
-        jnp.einsum("ckk->ck", K0_cell_f32).ravel(),
-        dofmap.ravel(), num_segments=n0 + 1)[:-1])
-    d0 = jnp.where(jnp.abs(d0) > 1e-30, d0, 1.0)
+    if dia is not None:
+        offsets = dia["offsets"]
+        nb = len(offsets)
+        vals0 = psum(jax.ops.segment_sum(
+            K0_cell_f32.reshape(K0_cell_f32.shape[0], -1).ravel(),
+            dia["dst"].ravel(), num_segments=nb * n0 + 1)[:-1]).reshape(nb, n0)
+        free_lat = ~dia["mask_lat"]
+        mv0 = lambda x: _dia_matvec(vals0, offsets, free_lat, x)
+        d0 = vals0[offsets.index(0)]  # lattice diagonal band
+        d0 = jnp.where(jnp.abs(d0) > 1e-30, d0, 1.0)
+    else:
+        d0 = psum(jax.ops.segment_sum(
+            jnp.einsum("ckk->ck", K0_cell_f32).ravel(),
+            dofmap.ravel(), num_segments=n0 + 1)[:-1])
+        d0 = jnp.where(jnp.abs(d0) > 1e-30, d0, 1.0)
 
-    mv0 = ebe_matvec(K0_cell_f32, dofmap, bc_mask, n0, psum,
-                     mode=mv0_mode, bs=bs)
+        mv0 = ebe_matvec(K0_cell_f32, dofmap, bc_mask, n0, psum,
+                         mode=mv0_mode, bs=bs)
 
     rt = {"d0": d0, "mv0": mv0,
           "lmax0": _power_lmax(mv0, 1.0 / d0, n0, power_iters)}
@@ -631,7 +743,8 @@ def _prolong(t, x_c):
 
 
 def ir_pcg(mv64, mv32, M32, b, rtol, maxiter, *, atol=0.0, max_rounds=6,
-           inner_floor=1e-6, inner_cap=600, stall_window=30):
+           inner_floor=1e-6, inner_cap=600, stall_window=30,
+           to_inner=None, from_inner=None):
     """Mixed-precision solve: f32 PCG rounds inside f64 iterative
     refinement.
 
@@ -645,8 +758,19 @@ def ir_pcg(mv64, mv32, M32, b, rtol, maxiter, *, atol=0.0, max_rounds=6,
     with the exact f64 operator; 2-3 rounds reach 1e-13.  Newton iterate
     parity with a direct f64 solve is asserted in tests/test_mg.py.
 
+    ``to_inner``/``from_inner``: optional layout maps applied at the
+    refinement-round boundary — the f32 iteration (mv32, M32, dots) then
+    runs entirely in the inner layout (e.g. the DIA lattice numbering,
+    where the level-0 matvec is gather-free) while the f64 operator and
+    the returned solution stay in the caller's numbering.  Norm targets
+    are permutation-invariant, so convergence behavior is unchanged.
+
     Returns (x_best, total_inner_iterations).
     """
+    if to_inner is None:
+        to_inner = lambda v: v
+    if from_inner is None:
+        from_inner = lambda v: v
     f64 = b.dtype
     bnorm = jnp.sqrt(jnp.vdot(b, b))
     # PETSc KSP convergence convention: |r| <= max(rtol*|b|, atol)
@@ -704,10 +828,10 @@ def ir_pcg(mv64, mv32, M32, b, rtol, maxiter, *, atol=0.0, max_rounds=6,
         # inner tolerance: enough to hit the outer target in this round,
         # floored at the f32 attainable range
         t_rel = jnp.clip(target / jnp.maximum(rnorm, 1e-300), inner_floor, 0.5)
-        r32 = r64.astype(_F32)
+        r32 = to_inner(r64.astype(_F32))
         tgt32 = (t_rel * rnorm).astype(_F32)
         dx, k = pcg32(r32, tgt32, jnp.minimum(maxiter - k_tot, inner_cap))
-        x = x + dx.astype(f64)
+        x = x + from_inner(dx).astype(f64)
         r64 = b - mv64(x)
         rn = jnp.sqrt(jnp.vdot(r64, r64))
         better = rn < nb

@@ -349,23 +349,39 @@ class FusedPlasticityStep:
         # transfer/segment-sum cost dwarfs the few extra CG iterations
         mg_opts.setdefault("galerkin_levels",
                            None if self.n_dofs <= 30_000 else 1)
-        # level-0 gather/scatter layout (mg.mg_setup mv0_mode): node-row
-        # indexing halves the indexed-element count for vector spaces
+        # level-0 operator layout (mg.mg_setup): "scalar"/"node" = EBE
+        # gather/scatter (node-row indexing halves the indexed-element
+        # count); "dia" = stencil-banded lattice operator (gather-free
+        # matvec; lattice meshes only, auto-falls-back to "node")
         self._mg_mv0_mode = mg_opts.pop("mv0_mode", "scalar")
         mgs = _mg.build_mg_statics(self.mesh, self.V, self.bc_mask_np, K_el,
+                                   dia=self._mg_mv0_mode == "dia",
                                    **{k: v for k, v in mg_opts.items()
                                       if k != "gamma_coarse"})
         self._mg_cheb_degree = mgs.pop("cheb_degree")
         self._mg_gamma = mg_opts.get("gamma_coarse", 2)
+        self._mg_dia_offsets = mgs.pop("dia0_offsets", None)  # STATIC tuple
+        if self._mg_mv0_mode == "dia" and self._mg_dia_offsets is None:
+            import warnings
+
+            warnings.warn("mv0_mode='dia' needs a lattice-structured mesh; "
+                          "falling back to 'node'", stacklevel=3)
+            self._mg_mv0_mode = "node"
         t0 = mgs["transfers"][0]
         nnz1 = mgs["levels"][0]["cols"].size
         t0["W"] = _pad_to(t0["W"], nc_pad)
         t0["blk_dst"] = _pad_to(t0["blk_dst"], nc_pad, value=nnz1)
+        if self._mg_dia_offsets is not None:
+            nb = len(self._mg_dia_offsets)
+            mgs["dia0_dst"] = _pad_to(mgs["dia0_dst"], nc_pad,
+                                      value=nb * self.n_dofs)
         mgs = jax.tree.map(jnp.asarray, mgs)
         self.statics["mg"] = mgs
         mg_spec = jax.tree.map(lambda _: P(), mgs)
         mg_spec["transfers"][0]["W"] = P("cells")
         mg_spec["transfers"][0]["blk_dst"] = P("cells")
+        if self._mg_dia_offsets is not None:
+            mg_spec["dia0_dst"] = P("cells")
         self._st_spec["mg"] = mg_spec
 
     # ------------------------------------------------------------------
@@ -538,16 +554,41 @@ class FusedPlasticityStep:
             K_cell = jnp.einsum("cqik,cqij,cqjl,cq->ckl",
                                 st["B"], C_tang, st["B"], st["wdet"])
             K_cell = K_cell * km[:, :, None] * km[:, None, :]
-            rt = _mg.mg_setup(st["mg"], K_cell.astype(jnp.float32), dof,
-                              mask, n_dofs, psum,
-                              mv0_mode=self._mg_mv0_mode, bs=self.V.bs)
+            dia_mode = self._mg_mv0_mode == "dia"
+            rt = _mg.mg_setup(
+                st["mg"], K_cell.astype(jnp.float32), dof, mask, n_dofs,
+                psum, mv0_mode=self._mg_mv0_mode, bs=self.V.bs,
+                dia=({"dst": st["mg"]["dia0_dst"],
+                      "offsets": self._mg_dia_offsets,
+                      "mask_lat": st["mg"]["mask0_lat"]}
+                     if dia_mode else None))
 
-            # exact f64 operator, identity rows on bc dofs; shares the
-            # mv0 layout choice — at 100x100 one f64 EBE matvec is 45 ms
-            # (NOTES op-cost table) and runs once per refinement round,
-            # a real share of the solve
+            # exact f64 operator, identity rows on bc dofs (node-row
+            # layout when available: at 100x100 one f64 EBE matvec is
+            # 45 ms — NOTES op-cost table — and runs once per refinement
+            # round, a real share of the solve)
             mv = _mg.ebe_matvec(K_cell, dof, mask, n_dofs, psum,
-                                mode=self._mg_mv0_mode, bs=self.V.bs)
+                                mode="scalar" if self._mg_mv0_mode == "scalar"
+                                else "node", bs=self.V.bs)
+
+            if dia_mode:
+                # the f32 iteration runs in the private LATTICE numbering
+                # (gather-free stencil matvec); permute only at the
+                # refinement-round boundary — ~4 gathers per solve
+                mask_lat = st["mg"]["mask0_lat"]
+                l2o = st["mg"]["perm0_l2o"]
+                o2l = st["mg"]["perm0_o2l"]
+
+                def M32(r):
+                    z = _mg.vcycle(st["mg"], rt,
+                                   jnp.where(mask_lat, 0.0, r),
+                                   cheb_degree=self._mg_cheb_degree,
+                                   gamma_coarse=self._mg_gamma)
+                    return jnp.where(mask_lat, r, z)
+
+                return _mg.ir_pcg(mv, rt["mv0"], M32, b, cg_rtol, maxiter,
+                                  to_inner=lambda v: v[l2o],
+                                  from_inner=lambda v: v[o2l])
 
             def M32(r):
                 z = _mg.vcycle(st["mg"], rt,

@@ -30,7 +30,8 @@ jax.config.update("jax_enable_x64", True)
 CONFIGS = {
     "base": {},
     "node": {"mv0_mode": "node"},
-    "tuned": {"mv0_mode": "node", "cheb_degree": 2, "inner_floor": 1e-5},
+    "dia": {"mv0_mode": "dia"},
+    "tuned": {"mv0_mode": "dia", "cheb_degree": 2, "inner_floor": 1e-5},
 }
 
 

@@ -65,10 +65,24 @@ def bench_size(nx, reps=30):
     xs = [jnp.asarray(rng.normal(size=n), jnp.float32) for _ in range(reps)]
     jax.block_until_ready(xs)
 
+    fp_d = FusedPlasticityStep(mesh, V, S, kernel, bc, linear_solver="mg",
+                               mg_opts={"mv0_mode": "dia"})
     out = {}
-    for mode in ("scalar", "node"):
-        rt = mgmod.mg_setup(fp.statics["mg"], K_bc, dof, mask, n,
-                            mv0_mode=mode, bs=V.bs)
+    for mode in ("scalar", "node", "dia"):
+        if mode == "dia":
+            if fp_d._mg_mv0_mode != "dia":
+                print(f"  {nx}x{nx}: dia unavailable (no lattice)", flush=True)
+                continue
+            mg_d = fp_d.statics["mg"]
+            rt = mgmod.mg_setup(mg_d, K_bc, fp_d.statics["dofmap"],
+                                fp_d.statics["bc_mask"], n,
+                                dia={"dst": mg_d["dia0_dst"],
+                                     "offsets": fp_d._mg_dia_offsets,
+                                     "mask_lat": mg_d["mask0_lat"]})
+            # time in the lattice layout (how the inner iteration runs it)
+        else:
+            rt = mgmod.mg_setup(fp.statics["mg"], K_bc, dof, mask, n,
+                                mv0_mode=mode, bs=V.bs)
         mv = jax.jit(rt["mv0"])
         jax.block_until_ready(mv(xs[0]))
         t0 = time.perf_counter()
@@ -77,8 +91,10 @@ def bench_size(nx, reps=30):
         ms = (time.perf_counter() - t0) / reps * 1e3
         out[mode] = ms
         print(f"  {nx}x{nx} (n={n}): mv0[{mode}] = {ms:.3f} ms", flush=True)
-    print(f"  {nx}x{nx}: node/scalar = {out['node'] / out['scalar']:.2f}",
-          flush=True)
+    for m in ("node", "dia"):
+        if m in out:
+            print(f"  {nx}x{nx}: {m}/scalar = {out[m] / out['scalar']:.2f}",
+                  flush=True)
     return out
 
 

@@ -327,3 +327,100 @@ def test_mv0_node_mode_matches_scalar():
     Du_n, hist_n = _run(fp_n, loads)
     assert [h[0] for h in hist_s] == [h[0] for h in hist_n]
     assert np.max(np.abs(Du_s - Du_n)) < 1e-10
+
+
+def test_mv0_dia_mode_matches_scalar():
+    """mv0_mode="dia" (stencil-banded lattice operator, gather-free
+    matvec) reproduces the scalar path: same lattice detection across the
+    structured slope mesh, identical Newton counts, Du parity; and the
+    banded operator equals the EBE operator as a linear map."""
+    from dolfinx_external_operator_tpu.parallel import mg as mgmod
+
+    mesh, V, S, kernel, bc_dofs = _slope_fixture(Nx=9)
+    fp_s = FusedPlasticityStep(mesh, V, S, kernel, bc_dofs, linear_solver="mg")
+    fp_d = FusedPlasticityStep(mesh, V, S, kernel, bc_dofs, linear_solver="mg",
+                               mg_opts={"mv0_mode": "dia"})
+    assert fp_d._mg_mv0_mode == "dia"  # lattice detected, no fallback
+    n = V.num_dofs
+
+    # operator-level parity: A_lat = R A R^T as linear maps (f32)
+    C_el = np.asarray(kernel(jnp.zeros(4), jnp.zeros(4))[0])
+    B_np = np.asarray(fp_s.statics["B"])[: fp_s.nc]
+    K_cell = np.einsum("cqik,ij,cqjl,cq->ckl", B_np, C_el, B_np, fp_s._wdet)
+    keep = ~fp_s.bc_mask_np
+
+    def masked_pad(fp):
+        dof = np.asarray(fp.statics["dofmap"])
+        km = np.concatenate([keep, [False]])[dof].astype(np.float32)
+        Kp = np.zeros((dof.shape[0],) + K_cell.shape[1:], np.float32)
+        Kp[: fp.nc] = K_cell
+        return jnp.asarray(Kp * km[:, :, None] * km[:, None, :])
+
+    rt_s = mgmod.mg_setup(fp_s.statics["mg"], masked_pad(fp_s),
+                          fp_s.statics["dofmap"], fp_s.statics["bc_mask"], n)
+    mg_d = fp_d.statics["mg"]
+    rt_d = mgmod.mg_setup(mg_d, masked_pad(fp_d), fp_d.statics["dofmap"],
+                          fp_d.statics["bc_mask"], n,
+                          dia={"dst": mg_d["dia0_dst"],
+                               "offsets": fp_d._mg_dia_offsets,
+                               "mask_lat": mg_d["mask0_lat"]})
+    l2o = np.asarray(mg_d["perm0_l2o"])
+    o2l = np.asarray(mg_d["perm0_o2l"])
+    rng = np.random.default_rng(11)
+    x = jnp.asarray(rng.normal(size=n), jnp.float32)
+    y_s = np.asarray(rt_s["mv0"](x))
+    y_d = np.asarray(rt_d["mv0"](x[l2o]))[o2l]
+    assert np.allclose(y_s, y_d, rtol=1e-5, atol=1e-5 * np.abs(y_s).max())
+
+    # end-to-end parity
+    loads = [2.0, 6.0, 10.0]
+    Du_s, hist_s = _run(fp_s, loads)
+    Du_d, hist_d = _run(fp_d, loads)
+    assert [h[0] for h in hist_s] == [h[0] for h in hist_d]
+    assert np.max(np.abs(Du_s - Du_d)) < 1e-10
+
+
+def test_mv0_dia_sharded_matches_single_device():
+    """dia mode under shard_map: the cell-sharded band scatter (psum'd)
+    reproduces the single-device iterates."""
+    mesh, V, S, kernel, bc_dofs = _slope_fixture(Nx=8)
+    loads = [2.0, 6.0]
+    fp_1 = FusedPlasticityStep(mesh, V, S, kernel, bc_dofs, linear_solver="mg",
+                               mg_opts={"mv0_mode": "dia"})
+    Du_1, hist_1 = _run(fp_1, loads)
+    fp_8 = FusedPlasticityStep(mesh, V, S, kernel, bc_dofs, linear_solver="mg",
+                               mg_opts={"mv0_mode": "dia"},
+                               device_mesh=make_device_mesh(8))
+    Du_8, hist_8 = _run(fp_8, loads)
+    assert [h[0] for h in hist_1] == [h[0] for h in hist_8]
+    assert np.max(np.abs(Du_1 - Du_8)) < 1e-10
+
+
+def test_dia_falls_back_off_lattice():
+    """A non-lattice mesh (holed square) downgrades mv0_mode='dia' to
+    'node' with a warning instead of failing."""
+    import warnings
+
+    from dolfinx_external_operator_tpu import build_square_with_elliptic_holes
+    from dolfinx_external_operator_tpu import functionspace, quadrature_element
+    from dolfinx_external_operator_tpu import locate_dofs_geometrical as ldg
+    from dolfinx_external_operator_tpu.models.mohr_coulomb import MohrCoulombMaterial
+
+    mesh, _, _ = build_square_with_elliptic_holes(lc=0.3)
+    V = functionspace(mesh, ("Lagrange", 2, (2,)))
+    S = functionspace(mesh, quadrature_element(mesh.cell_name(), degree=2,
+                                               value_shape=(4,)))
+    mat = MohrCoulombMaterial()
+
+    def kernel(deps, sn):
+        C, st = mat.tangent_stress_point(deps, sn)
+        return C, st[0]
+
+    sd = ldg(V, lambda x: np.isclose(x[1], x[1].min()))
+    bc = np.concatenate([sd * 2, sd * 2 + 1])
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        fp = FusedPlasticityStep(mesh, V, S, kernel, bc, linear_solver="mg",
+                                 mg_opts={"mv0_mode": "dia"})
+    assert fp._mg_mv0_mode == "node"
+    assert any("lattice" in str(x.message) for x in w)
