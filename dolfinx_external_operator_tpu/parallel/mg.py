@@ -288,7 +288,7 @@ def _lattice_node_perm(coords):
     key = j.astype(np.int64) * len(xs) + i
     if np.unique(key).size != n:
         return None
-    return np.argsort(key, kind="stable")
+    return np.argsort(key, kind="stable"), (len(ys), len(xs))
 
 
 def _dia_matvec(bands, offsets, free_lat, x):
@@ -307,7 +307,113 @@ def _dia_matvec(bands, offsets, free_lat, x):
     out = jnp.zeros(n, dt)
     for k, off in enumerate(offsets):
         out = out + bands[k] * jax.lax.dynamic_slice_in_dim(xp, w + off, n)
+    if free_lat is None:  # coarse levels: plain matvec (zero bc rows),
+        return out        # mirroring _ell_matvec semantics
     return jnp.where(free_lat, out, x.astype(dt))
+
+
+def _transfer0_stencil(P0_lat, shape0, shape1, bs, mask0_lat):
+    """Derive a 2:1 inter-grid stencil from the (fully lattice-numbered)
+    P2->P1 interpolation matrix: offsets (dj, di, w) such that
+    ``P0[(2J+dj, 2I+di, c), (J, I, c)] == w`` for every in-range,
+    non-bc row.  Verified EXACTLY against P0 by reconstruction — any
+    mismatch (non-uniform weights, component coupling, non-nested
+    interpolation) returns None and callers keep the gather-based
+    transfer.  With a stencil, restrict/prolong become strided slices —
+    no gathers (at 100x100 the transfer gathers are ~324k indexed
+    elements each, a real share of a cycle once the matvecs are DIA)."""
+    ny0, nx0 = shape0
+    ny1, nx1 = shape1
+    coo = P0_lat.tocoo()
+    rnode, rcomp = coo.row // bs, coo.row % bs
+    cnode, ccomp = coo.col // bs, coo.col % bs
+    if np.any(rcomp != ccomp):
+        return None
+    rj, ri = rnode // nx0, rnode % nx0
+    cj, ci = cnode // nx1, cnode % nx1
+    dj, di = rj - 2 * cj, ri - 2 * ci
+    if dj.size == 0 or np.abs(dj).max() > 3 or np.abs(di).max() > 3:
+        return None
+    key = (dj + 4) * 8 + (di + 4)
+    stencil = []
+    for k in np.unique(key):
+        m = key == k
+        w = coo.data[m]
+        if np.ptp(w) > 1e-12:
+            return None
+        stencil.append((int(dj[m][0]), int(di[m][0]), float(w[0])))
+    # exact reconstruction check
+    J, I = np.mgrid[0:ny1, 0:nx1]
+    rows_h, cols_h, vals_h = [], [], []
+    for dj_, di_, w_ in stencil:
+        rj_ = 2 * J + dj_
+        ri_ = 2 * I + di_
+        ok = (rj_ >= 0) & (rj_ < ny0) & (ri_ >= 0) & (ri_ < nx0)
+        rn = (rj_ * nx0 + ri_)[ok]
+        cn = (J * nx1 + I)[ok]
+        for c in range(bs):
+            r_ = rn * bs + c
+            keep = ~mask0_lat[r_]
+            rows_h.append(r_[keep])
+            cols_h.append((cn * bs + c)[keep])
+            vals_h.append(np.full(int(keep.sum()), w_))
+    P_hat = sp.coo_matrix(
+        (np.concatenate(vals_h), (np.concatenate(rows_h), np.concatenate(cols_h))),
+        shape=P0_lat.shape).tocsr()
+    diff = abs(P_hat - P0_lat)
+    if diff.nnz and diff.max() > 1e-12:
+        return None
+    return tuple(stencil)
+
+
+def _stencil_restrict(r_f, stencil, shape0, shape1, bs, free0):
+    """r_c = P0^T r_f as strided slices (see _transfer0_stencil)."""
+    ny0, nx0 = shape0
+    ny1, nx1 = shape1
+    pad = 4
+    g = jnp.where(free0, r_f, 0.0).reshape(ny0, nx0, bs)
+    gp = jnp.pad(g, ((pad, pad), (pad, pad), (0, 0)))
+    out = jnp.zeros((ny1, nx1, bs), g.dtype)
+    for dj, di, w in stencil:
+        sub = jax.lax.slice(gp, (pad + dj, pad + di, 0),
+                            (pad + dj + 2 * ny1 - 1, pad + di + 2 * nx1 - 1, bs),
+                            (2, 2, 1))
+        out = out + w * sub
+    return out.reshape(-1)
+
+
+def _stencil_prolong(x_c, stencil, shape0, shape1, bs, free0):
+    """x_f = P0 x_c, scatter-free: per parity class the target sub-grid is
+    a weighted sum of shifted coarse slices; classes are re-interleaved by
+    stack+reshape (no strided scatter — XLA lowers those to full
+    scatters)."""
+    ny0, nx0 = shape0
+    ny1, nx1 = shape1
+    pad = 2
+    g1 = jnp.pad(x_c.reshape(ny1, nx1, bs), ((pad, pad), (pad, pad), (0, 0)))
+
+    def cls(pj, pi):
+        R = ny1 if pj == 0 else ny1 - 1
+        C = nx1 if pi == 0 else nx1 - 1
+        acc = jnp.zeros((R, C, bs), x_c.dtype)
+        for dj, di, w in stencil:
+            if (dj - pj) % 2 or (di - pi) % 2:
+                continue
+            aj = (dj - pj) // 2
+            ai = (di - pi) // 2
+            acc = acc + w * jax.lax.slice(
+                g1, (pad - aj, pad - ai, 0), (pad - aj + R, pad - ai + C, bs))
+        return acc
+
+    def colmix(e, o):
+        o = jnp.pad(o, ((0, 0), (0, e.shape[1] - o.shape[1]), (0, 0)))
+        return jnp.stack([e, o], axis=2).reshape(e.shape[0], -1, bs)[:, :nx0]
+
+    rows_even = colmix(cls(0, 0), cls(0, 1))       # (ny1, nx0, bs)
+    rows_odd = colmix(cls(1, 0), cls(1, 1))        # (ny1-1, nx0, bs)
+    rows_odd = jnp.pad(rows_odd, ((0, 1), (0, 0), (0, 0)))
+    out = jnp.stack([rows_even, rows_odd], axis=1).reshape(-1, nx0, bs)[:ny0]
+    return jnp.where(free0, out.reshape(-1), 0.0)
 
 
 def _ell_vals_from_csr(K, ell):
@@ -372,14 +478,67 @@ def build_mg_statics(mesh, V, bc_mask, K0_cell_elastic, *,
     K0_raw = _csr_from_blocks(np.asarray(K0_cell_elastic, np.float64), dm0, n0)
     K0 = _eliminate_bc(K0_raw, bc_mask)
 
-    # ---- transfer 0: geometric p-coarsening (P2 -> P1), cell-local -------
+    # ---- internal lattice numbering (dia mode) ----------------------------
+    # On lattice-structured meshes the level-0 AND level-1 operators become
+    # stencil-banded in lexicographic numberings (see _dia_matvec): the
+    # whole f32 inner iteration then runs in the lattice layout, with the
+    # permutation paid only at the refinement-round boundary (ir_pcg
+    # to_inner/from_inner).  Everything framework-facing keeps the
+    # original numbering.  LEVEL-1 side: the hierarchy below level 0 is
+    # simply BUILT in the permuted numbering (P0 columns, vdofs, RBM rows),
+    # so ELL layouts, Galerkin maps and aggregation stay numbering-agnostic.
+    dia_info = None
+    perm1_l2o = perm1_o2l = None
     degree = V.element.degree
+    if dia and degree in (1, 2):
+        if degree == 2:
+            node_xy = np.vstack([mesh.points[:, :2],
+                                 mesh.points[mesh.edges, :2].mean(axis=1)])
+        else:
+            node_xy = mesh.points[:, :2]
+        det0 = _lattice_node_perm(node_xy)
+        det1 = det0 if degree == 1 else _lattice_node_perm(mesh.points[:, :2])
+        if det0 is not None and det1 is not None:
+            node_perm, shape0 = det0
+            vert_perm, shape1 = det1
+            perm0_l2o = (node_perm[:, None] * bs
+                         + np.arange(bs)[None, :]).ravel()  # lattice dof -> orig dof
+            perm0_o2l = np.empty(n0, np.int64)
+            perm0_o2l[perm0_l2o] = np.arange(n0)
+            coo = K0_raw.tocoo()
+            offs = np.unique(perm0_o2l[coo.col] - perm0_o2l[coo.row])
+            if offs.size <= 128:
+                # contribution map: (cell, a, b) -> band(col-row)*n0 + row,
+                # all in lattice numbering; every pair is structurally in
+                # K0_raw by construction so the searchsorted always hits
+                rlat = perm0_o2l[dm0]  # (nc, nk0)
+                off_ab = rlat[:, None, :] - rlat[:, :, None]  # (nc, a, b): col-row
+                band = np.searchsorted(offs, off_ab)
+                dia0_dst = (band * np.int64(n0)
+                            + rlat[:, :, None]).reshape(mesh.num_cells, -1)
+                dia_info = {
+                    "dia0_dst": dia0_dst.astype(np.int64 if offs.size * n0 > 2**31 - 1 else _I),
+                    "perm0_l2o": perm0_l2o.astype(_I),
+                    "perm0_o2l": perm0_o2l.astype(_I),
+                    "mask0_lat": bc_mask[perm0_l2o],
+                    "dia0_offsets": tuple(int(o) for o in offs),
+                    "lat_shapes": (shape0, shape1),
+                }
+                perm1_l2o = (vert_perm[:, None] * bs
+                             + np.arange(bs)[None, :]).ravel()
+                perm1_o2l = np.empty(perm1_l2o.size, np.int64)
+                perm1_o2l[perm1_l2o] = np.arange(perm1_l2o.size)
+
+    # ---- transfer 0: geometric p-coarsening (P2 -> P1), cell-local -------
     if degree == 2:
         P0 = _p2_to_p1_interpolation(mesh, bs, bc_mask)
     elif degree == 1:
         P0 = _zero_rows(sp.eye(n0, format="csr"), bc_mask)
     else:
         raise NotImplementedError(f"mg hierarchy for degree-{degree} spaces")
+    if dia_info is not None:
+        # level-1 in its lattice numbering from here on down
+        P0 = P0.tocsc()[:, perm1_l2o].tocsr()
     n1 = P0.shape[1]
     K1 = (P0.T @ K0 @ P0).tocsr()
 
@@ -397,6 +556,8 @@ def build_mg_statics(mesh, V, bc_mask, K0_cell_elastic, *,
     # (nested interpolation => every row's support lies in the cell's vertices)
     vdofs = (np.repeat(mesh.cells.astype(np.int64) * bs, bs, axis=1)
              + np.tile(np.arange(bs), mesh.cells.shape[1]))  # (nc, nv_cell*bs)
+    if dia_info is not None:
+        vdofs = perm1_o2l[vdofs]
     nc = mesh.num_cells
     nk1 = vdofs.shape[1]
     P0_idx, P0_w = _padded_rows(P0)
@@ -423,48 +584,31 @@ def build_mg_statics(mesh, V, bc_mask, K0_cell_elastic, *,
                   "P_idx": P0_idx.astype(_I),
                   "P_w": P0_w.astype(np.float32)}]
 
-    # ---- optional DIA (stencil-banded) level-0 operator -------------------
-    # On lattice-structured meshes the level-0 matvec becomes shifted
-    # slices + FMAs in an internal lexicographic numbering — zero
-    # gathers/scatters (see _dia_matvec).  The lattice layout is PRIVATE to
-    # the inner f32 iteration: ir_pcg permutes at the refinement-round
-    # boundary (~4 gathers per solve), everything framework-facing keeps
-    # the original numbering.
-    dia_info = None
-    if dia:
-        if degree == 2:
-            node_xy = np.vstack([mesh.points[:, :2],
-                                 mesh.points[mesh.edges, :2].mean(axis=1)])
-        else:
-            node_xy = mesh.points[:, :2]
-        node_perm = _lattice_node_perm(node_xy)
-        if node_perm is not None:
-            perm0_l2o = (node_perm[:, None] * bs
-                         + np.arange(bs)[None, :]).ravel()  # lattice dof -> orig dof
-            perm0_o2l = np.empty(n0, np.int64)
-            perm0_o2l[perm0_l2o] = np.arange(n0)
-            coo = K0_raw.tocoo()
-            offs = np.unique(perm0_o2l[coo.col] - perm0_o2l[coo.row])
-            if offs.size <= 128:
-                # contribution map: (cell, a, b) -> band(col-row)*n0 + row,
-                # all in lattice numbering; every pair is structurally in
-                # K0_raw by construction so the searchsorted always hits
-                rlat = perm0_o2l[dm0]  # (nc, nk0)
-                off_ab = rlat[:, None, :] - rlat[:, :, None]  # (nc, a, b): col-row
-                band = np.searchsorted(offs, off_ab)
-                dia0_dst = (band * np.int64(n0)
-                            + rlat[:, :, None]).reshape(nc, -1)
-                # rows in lattice order for the transfer-0 restrict/prolong
-                # (they run on lattice-layout level-0 vectors inside vcycle)
-                transfers[0]["P_idx"] = P0_idx[perm0_l2o].astype(_I)
-                transfers[0]["P_w"] = P0_w[perm0_l2o].astype(np.float32)
-                dia_info = {
-                    "dia0_dst": dia0_dst.astype(np.int64 if offs.size * n0 > 2**31 - 1 else _I),
-                    "perm0_l2o": perm0_l2o.astype(_I),
-                    "perm0_o2l": perm0_o2l.astype(_I),
-                    "mask0_lat": bc_mask[perm0_l2o],
-                    "dia0_offsets": tuple(int(o) for o in offs),
-                }
+    if dia_info is not None:
+        # transfer-0 rows in lattice-0 order (restrict/prolong run on
+        # lattice-layout level-0 vectors inside the cycle; their ENTRIES
+        # are already lattice-1 via the permuted P0 columns)
+        transfers[0]["P_idx"] = P0_idx[dia_info["perm0_l2o"]].astype(_I)
+        transfers[0]["P_w"] = P0_w[dia_info["perm0_l2o"]].astype(np.float32)
+        # 2:1 inter-grid stencil for gather-free transfers (None -> the
+        # padded-row gather transfer above stays in use)
+        shape0, shape1 = dia_info["lat_shapes"]
+        t0s = _transfer0_stencil(P0[dia_info["perm0_l2o"]], shape0, shape1,
+                                 bs, dia_info["mask0_lat"])
+        if t0s is not None:
+            dia_info["t0_stencil"] = t0s
+        # level-1 DIA: band layout of the (lattice-numbered) ELL pattern;
+        # per-Newton values re-scatter from the ELL value vector through a
+        # fixed slot map (padded ELL slots hold zeros and alias the
+        # diagonal band harmlessly)
+        off1 = ell1.cols.astype(np.int64) - np.arange(n1, dtype=np.int64)[:, None]
+        offs1 = np.unique(off1)
+        if offs1.size <= 160:
+            band1 = np.searchsorted(offs1, off1)
+            dia1_dst = (band1 * np.int64(n1)
+                        + np.arange(n1, dtype=np.int64)[:, None]).ravel()
+            dia_info["dia1_dst"] = dia1_dst.astype(_I)
+            dia_info["dia1_offsets"] = tuple(int(o) for o in offs1)
 
     # ---- aggregation levels ----------------------------------------------
     # near-nullspace at the P1 level: 2D rigid-body modes, zeroed on bc
@@ -476,6 +620,8 @@ def build_mg_statics(mesh, V, bc_mask, K0_cell_elastic, *,
     B[0::bs, 2] = -(pts[:, 1] - pts[:, 1].mean())
     B[1::bs, 2] = pts[:, 0] - pts[:, 0].mean()
     B[bc_mask[:n1], :] = 0.0
+    if dia_info is not None:
+        B = B[perm1_l2o]  # rows follow the lattice level-1 numbering
 
     K_l, B_l, bs_l, ell_l = K1, B, bs, ell1
     while levels[-1]["n"] > coarse_target and len(levels) < max_levels:
@@ -678,14 +824,27 @@ def mg_setup(statics, K0_cell_f32, dofmap, bc_mask, n0, psum=None, *, power_iter
         lvl_vals.append(vals.reshape(lvl["cols"].shape))
     rt["vals"] = lvl_vals
 
-    diags, lmaxs = [], []
-    for lvl, vals in zip(levels, lvl_vals):
+    diags, lmaxs, mvs = [], [], []
+    for i, (lvl, vals) in enumerate(zip(levels, lvl_vals)):
         d = vals.ravel()[lvl["diag_slot"]]
         d = jnp.where(jnp.abs(d) > 1e-30, d, 1.0)
         diags.append(d)
-        mv = lambda x, vals=vals, cols=lvl["cols"]: _ell_matvec(vals, cols, x)
+        if i == 0 and dia is not None and "dst1" in dia:
+            # level-1 DIA: re-scatter the ELL values into band layout once
+            # per Newton; the smoothing matvecs (7+ per cycle) then run
+            # gather-free (see _dia_matvec).  No identity-row handling —
+            # mirrors the plain ELL matvec (zero rows at bc dofs).
+            offs1 = dia["offsets1"]
+            n1 = lvl["cols"].shape[0]
+            vals1_dia = jax.ops.segment_sum(
+                vals.ravel(), dia["dst1"],
+                num_segments=len(offs1) * n1).reshape(len(offs1), n1)
+            mv = lambda x, v=vals1_dia, o=offs1: _dia_matvec(v, o, None, x)
+        else:
+            mv = lambda x, vals=vals, cols=lvl["cols"]: _ell_matvec(vals, cols, x)
+        mvs.append(mv)
         lmaxs.append(_power_lmax(mv, 1.0 / d, lvl["cols"].shape[0], power_iters))
-    rt["diags"], rt["lmaxs"] = diags, lmaxs
+    rt["diags"], rt["lmaxs"], rt["mvs"] = diags, lmaxs, mvs
 
     # coarsest dense solve (f32); guard zero rows (fully-bc-supported dofs).
     # EXPLICIT INVERSE, not lu_factor+lu_solve: XLA triangular solves are
@@ -846,10 +1005,14 @@ def ir_pcg(mv64, mv32, M32, b, rtol, maxiter, *, atol=0.0, max_rounds=6,
     return out[6], out[3]
 
 
-def vcycle(statics, rt, r0, cheb_degree=3, *, gamma_coarse=2):
+def vcycle(statics, rt, r0, cheb_degree=3, *, gamma_coarse=2, t0s=None):
     """One multigrid cycle as a preconditioner application z = M^-1 r0
     (f32 in / f32 out).  V at the top transition, W-cycle (gamma=2) below
-    level 1: coarse levels are cheap and absorb the unsmoothed transfers."""
+    level 1: coarse levels are cheap and absorb the unsmoothed transfers.
+
+    ``t0s``: optional gather-free transfer-0 spec
+    ``(stencil, shape0, shape1, bs, free0)`` (see _transfer0_stencil);
+    level-0 vectors are then in the DIA lattice layout."""
     levels, transfers = statics["levels"], statics["transfers"]
     deg = cheb_degree
     L = len(levels)
@@ -858,8 +1021,8 @@ def vcycle(statics, rt, r0, cheb_degree=3, *, gamma_coarse=2):
         """Approximate solve at level k (1-based; levels[k-1])."""
         if k == L:
             return rt["coarse_inv"] @ r
-        lvl, vals = levels[k - 1], rt["vals"][k - 1]
-        mv = lambda x: _ell_matvec(vals, lvl["cols"], x)
+        lvl = levels[k - 1]
+        mv = rt["mvs"][k - 1]
         dinv = 1.0 / rt["diags"][k - 1]
         lmax = rt["lmaxs"][k - 1]
         x = _chebyshev(mv, dinv, r, None, lmax, deg)
@@ -867,14 +1030,19 @@ def vcycle(statics, rt, r0, cheb_degree=3, *, gamma_coarse=2):
         r_c = _restrict(t_down, r - mv(x), levels[k]["cols"].shape[0])
         x_c = level_solve(k + 1, r_c, gamma)
         for _ in range(gamma - 1):
-            resid_c = r_c - _ell_matvec(rt["vals"][k], levels[k]["cols"], x_c)
+            resid_c = r_c - rt["mvs"][k](x_c)
             x_c = x_c + level_solve(k + 1, resid_c, gamma)
         x = x + _prolong(t_down, x_c)
         return _chebyshev(mv, dinv, r, x, lmax, deg)
 
     mv0, dinv0, lmax0 = rt["mv0"], 1.0 / rt["d0"], rt["lmax0"]
     x0 = _chebyshev(mv0, dinv0, r0, None, lmax0, deg)
-    r1 = _restrict(transfers[0], r0 - mv0(x0), levels[0]["cols"].shape[0])
+    resid = r0 - mv0(x0)
+    if t0s is None:
+        r1 = _restrict(transfers[0], resid, levels[0]["cols"].shape[0])
+    else:
+        r1 = _stencil_restrict(resid, *t0s)
     x1 = level_solve(1, r1, gamma_coarse) if L > 1 else rt["coarse_inv"] @ r1
-    x0 = x0 + _prolong(transfers[0], x1)
+    x0 = x0 + (_prolong(transfers[0], x1) if t0s is None
+               else _stencil_prolong(x1, *t0s))
     return _chebyshev(mv0, dinv0, r0, x0, lmax0, deg)

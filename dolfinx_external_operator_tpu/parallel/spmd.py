@@ -361,6 +361,9 @@ class FusedPlasticityStep:
         self._mg_cheb_degree = mgs.pop("cheb_degree")
         self._mg_gamma = mg_opts.get("gamma_coarse", 2)
         self._mg_dia_offsets = mgs.pop("dia0_offsets", None)  # STATIC tuple
+        self._mg_dia1_offsets = mgs.pop("dia1_offsets", None)
+        self._mg_t0_stencil = mgs.pop("t0_stencil", None)   # STATIC tuple
+        self._mg_lat_shapes = mgs.pop("lat_shapes", None)
         if self._mg_mv0_mode == "dia" and self._mg_dia_offsets is None:
             import warnings
 
@@ -560,7 +563,10 @@ class FusedPlasticityStep:
                 psum, mv0_mode=self._mg_mv0_mode, bs=self.V.bs,
                 dia=({"dst": st["mg"]["dia0_dst"],
                       "offsets": self._mg_dia_offsets,
-                      "mask_lat": st["mg"]["mask0_lat"]}
+                      "mask_lat": st["mg"]["mask0_lat"],
+                      **({"dst1": st["mg"]["dia1_dst"],
+                          "offsets1": self._mg_dia1_offsets}
+                         if self._mg_dia1_offsets is not None else {})}
                      if dia_mode else None))
 
             # exact f64 operator, identity rows on bc dofs (node-row
@@ -579,11 +585,17 @@ class FusedPlasticityStep:
                 l2o = st["mg"]["perm0_l2o"]
                 o2l = st["mg"]["perm0_o2l"]
 
+                t0s = None
+                if self._mg_t0_stencil is not None:
+                    shape0, shape1 = self._mg_lat_shapes
+                    t0s = (self._mg_t0_stencil, shape0, shape1, self.V.bs,
+                           ~mask_lat)
+
                 def M32(r):
                     z = _mg.vcycle(st["mg"], rt,
                                    jnp.where(mask_lat, 0.0, r),
                                    cheb_degree=self._mg_cheb_degree,
-                                   gamma_coarse=self._mg_gamma)
+                                   gamma_coarse=self._mg_gamma, t0s=t0s)
                     return jnp.where(mask_lat, r, z)
 
                 return _mg.ir_pcg(mv, rt["mv0"], M32, b, cg_rtol, maxiter,
