@@ -349,13 +349,15 @@ class FusedPlasticityStep:
         # transfer/segment-sum cost dwarfs the few extra CG iterations
         mg_opts.setdefault("galerkin_levels",
                            None if self.n_dofs <= 30_000 else 1)
-        # level-0 operator layout (mg.mg_setup): "scalar"/"node" = EBE
-        # gather/scatter (node-row indexing halves the indexed-element
-        # count); "dia" = stencil-banded lattice operator (gather-free
-        # matvec; lattice meshes only, auto-falls-back to "node")
-        self._mg_mv0_mode = mg_opts.pop("mv0_mode", "scalar")
+        # level-0 operator layout (mg.mg_setup): "auto" (default) = "dia"
+        # where the mesh is lattice-structured, else "scalar".  "dia" =
+        # stencil-banded lattice operators + stencil transfers (gather-
+        # free; explicit request falls back to "node" with a warning on
+        # non-lattice meshes); "node"/"scalar" = EBE gather/scatter
+        # (node-row indexing halves the indexed-element count)
+        self._mg_mv0_mode = mg_opts.pop("mv0_mode", "auto")
         mgs = _mg.build_mg_statics(self.mesh, self.V, self.bc_mask_np, K_el,
-                                   dia=self._mg_mv0_mode == "dia",
+                                   dia=self._mg_mv0_mode in ("dia", "auto"),
                                    **{k: v for k, v in mg_opts.items()
                                       if k != "gamma_coarse"})
         self._mg_cheb_degree = mgs.pop("cheb_degree")
@@ -364,7 +366,10 @@ class FusedPlasticityStep:
         self._mg_dia1_offsets = mgs.pop("dia1_offsets", None)
         self._mg_t0_stencil = mgs.pop("t0_stencil", None)   # STATIC tuple
         self._mg_lat_shapes = mgs.pop("lat_shapes", None)
-        if self._mg_mv0_mode == "dia" and self._mg_dia_offsets is None:
+        if self._mg_mv0_mode == "auto":
+            self._mg_mv0_mode = ("dia" if self._mg_dia_offsets is not None
+                                 else "scalar")
+        elif self._mg_mv0_mode == "dia" and self._mg_dia_offsets is None:
             import warnings
 
             warnings.warn("mv0_mode='dia' needs a lattice-structured mesh; "

@@ -57,7 +57,10 @@ def test_galerkin_coarse_values_match_scipy():
     import scipy.sparse as sp
 
     mesh, V, S, kernel, bc_dofs = _slope_fixture(Nx=8)
-    fp = FusedPlasticityStep(mesh, V, S, kernel, bc_dofs, linear_solver="mg")
+    # scalar mode: this test reconstructs matrices in the ORIGINAL
+    # numbering (the dia default builds the hierarchy lattice-numbered)
+    fp = FusedPlasticityStep(mesh, V, S, kernel, bc_dofs, linear_solver="mg",
+                             mg_opts={"mv0_mode": "scalar"})
     n = V.num_dofs
 
     # elastic element blocks (the same ones _setup_mg used)
@@ -103,7 +106,8 @@ def test_galerkin_coarse_values_match_scipy():
 
 def test_vcycle_is_linear_operator():
     mesh, V, S, kernel, bc_dofs = _slope_fixture(Nx=8)
-    fp = FusedPlasticityStep(mesh, V, S, kernel, bc_dofs, linear_solver="mg")
+    fp = FusedPlasticityStep(mesh, V, S, kernel, bc_dofs, linear_solver="mg",
+                             mg_opts={"mv0_mode": "scalar"})
     n = V.num_dofs
     C_el = np.asarray(kernel(jnp.zeros(4), jnp.zeros(4))[0])
     B_np = np.asarray(fp.statics["B"])
@@ -247,7 +251,8 @@ def test_ir_pcg_nonzero_bc_rows():
     no-progress guard — observed as Newton failing to converge on the von
     Mises general path with ``pc_type="mg"``."""
     mesh, V, S, kernel, bc_dofs = _slope_fixture(Nx=8)
-    fp = FusedPlasticityStep(mesh, V, S, kernel, bc_dofs, linear_solver="mg")
+    fp = FusedPlasticityStep(mesh, V, S, kernel, bc_dofs, linear_solver="mg",
+                             mg_opts={"mv0_mode": "scalar"})
     n = V.num_dofs
     C_el = np.asarray(kernel(jnp.zeros(4), jnp.zeros(4))[0])
     B_np = np.asarray(fp.statics["B"])
@@ -296,7 +301,8 @@ def test_mv0_node_mode_matches_scalar():
     from dolfinx_external_operator_tpu.parallel import mg as mgmod
 
     mesh, V, S, kernel, bc_dofs = _slope_fixture(Nx=10)
-    fp = FusedPlasticityStep(mesh, V, S, kernel, bc_dofs, linear_solver="mg")
+    fp = FusedPlasticityStep(mesh, V, S, kernel, bc_dofs, linear_solver="mg",
+                             mg_opts={"mv0_mode": "scalar"})
     n = V.num_dofs
     dof = fp.statics["dofmap"]
     mask = fp.statics["bc_mask"]
@@ -337,7 +343,8 @@ def test_mv0_dia_mode_matches_scalar():
     from dolfinx_external_operator_tpu.parallel import mg as mgmod
 
     mesh, V, S, kernel, bc_dofs = _slope_fixture(Nx=9)
-    fp_s = FusedPlasticityStep(mesh, V, S, kernel, bc_dofs, linear_solver="mg")
+    fp_s = FusedPlasticityStep(mesh, V, S, kernel, bc_dofs, linear_solver="mg",
+                               mg_opts={"mv0_mode": "scalar"})
     fp_d = FusedPlasticityStep(mesh, V, S, kernel, bc_dofs, linear_solver="mg",
                                mg_opts={"mv0_mode": "dia"})
     assert fp_d._mg_mv0_mode == "dia"  # lattice detected, no fallback
