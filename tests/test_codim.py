@@ -112,3 +112,98 @@ def test_external_operator_codim_0(quadrature_degree):
         J_exact = u**3 * dx if derivative == 0 else (3 * u**2) * (2 * u) * dx
         J_ref = float(fem.assemble_scalar(J_exact))
         np.testing.assert_allclose(Jh, J_ref, rtol=1e-13, atol=1e-14)
+
+
+def test_codim1_mlp_constitutive():
+    """BASELINE.json stretch config: a codim-1 boundary external operator
+    whose constitutive model is a neural network (1->16->16->1 tanh MLP in
+    pure JAX), used in a ``ds`` boundary energy functional with its
+    AD-derived derivative operator.
+
+    Oracles (no symbolic twin exists for an MLP):
+    1. value parity against a fully INDEPENDENT hand quadrature — exterior
+       facet endpoints + 1D Gauss rule + the same MLP applied to the P1
+       trace of u (no framework machinery involved);
+    2. derivative-functional consistency: the assembled dJ/du[1] functional
+       matches a central finite difference of J to O(k^2).
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from dolfinx_external_operator_tpu.quadrature import make_quadrature
+
+    # -- fixed-weight MLP energy density W(u) and its derivative ----------
+    rng = np.random.default_rng(42)
+    W1 = jnp.asarray(rng.normal(size=(1, 16)) / 4)
+    b1 = jnp.asarray(rng.normal(size=16) / 4)
+    W2 = jnp.asarray(rng.normal(size=(16, 16)) / 4)
+    b2 = jnp.asarray(rng.normal(size=16) / 4)
+    W3 = jnp.asarray(rng.normal(size=(16, 1)) / 4)
+
+    def mlp(u):  # scalar -> scalar
+        h = jnp.tanh(u[None] @ W1 + b1)
+        h = jnp.tanh(h @ W2 + b2)
+        return (h @ W3)[0]
+
+    mlp_v = jax.jit(jax.vmap(mlp))
+    dmlp_v = jax.jit(jax.vmap(jax.grad(mlp)))
+
+    def w_external(derivatives):
+        if derivatives == (0,):
+            return lambda u: np.asarray(mlp_v(jnp.asarray(u).reshape(-1))).reshape(-1)
+        if derivatives == (1,):
+            return lambda u: np.asarray(dmlp_v(jnp.asarray(u).reshape(-1))).reshape(-1)
+        raise NotImplementedError
+
+    qdeg = 3
+    mesh = fem.create_unit_square(6, 6)
+    ext_facets = mesh.exterior_facets
+    V = fem.functionspace(mesh, ("Lagrange", 1))
+    u = fem.Function(V)
+    u.interpolate(lambda x: 0.3 * x[0] + 0.2 * x[1] ** 2)
+
+    submesh, entity_map, _, _ = create_submesh(mesh, mesh.tdim - 1, ext_facets)
+    parent_to_sub = np.stack(
+        [mesh.facet_cells[ext_facets, 0], mesh.facet_local_index[ext_facets, 0]],
+        axis=1).astype(np.int32)
+    Q = fem.functionspace(submesh, fem.quadrature_element(submesh.cell_name(), degree=qdeg))
+    w_op = FEMExternalOperator(u, function_space=Q, external_function=w_external)
+    ds = fem.Measure("ds", domain=mesh, subdomain_data={1: ext_facets},
+                     subdomain_id=1, metadata={"quadrature_degree": qdeg})
+
+    def assemble_J(form):
+        J_replaced, J_ops = replace_external_operators(form)
+        operands = evaluate_operands(J_ops, entities=parent_to_sub)
+        evaluate_external_operators(J_ops, operands)
+        return float(fem.assemble_scalar(J_replaced))
+
+    Jh = assemble_J(w_op * ds)
+
+    # oracle 1: independent hand quadrature on the facet segments
+    qp, qw = make_quadrature("interval", qdeg)   # reference [0, 1]
+    verts = mesh.points[:, :2]
+    uv = np.asarray(u.data)
+    J_hand = 0.0
+    for f_idx in ext_facets:
+        a, b = mesh.facets[f_idx]
+        length = np.linalg.norm(verts[b] - verts[a])
+        u_q = uv[a] + (uv[b] - uv[a]) * qp[:, 0]
+        J_hand += length * float(np.sum(np.asarray(qw) * np.asarray(
+            mlp_v(jnp.asarray(u_q)))))
+    np.testing.assert_allclose(Jh, J_hand, rtol=1e-12, atol=1e-13)
+
+    # oracle 2: derivative functional == central FD of J to O(k^2)
+    dJ = fem.expand_derivatives(fem.derivative(w_op * ds, u, S.as_expr(1.0)))
+    dJh = assemble_J(dJ)
+    u0 = np.asarray(u.data).copy()
+    fd = []
+    for k in (1e-4, 1e-5):
+        u.x.array[:] = u0 + k    # direction = constant 1
+        Jp = assemble_J(w_op * ds)
+        u.x.array[:] = u0 - k
+        Jm = assemble_J(w_op * ds)
+        u.x.array[:] = u0
+        fd.append((Jp - Jm) / (2 * k))
+    np.testing.assert_allclose(dJh, fd[1], rtol=1e-8)
+    # central-difference error shrinks ~k^2 between the two k values
+    assert abs(fd[0] - dJh) > 0.5 * abs(fd[1] - dJh)
