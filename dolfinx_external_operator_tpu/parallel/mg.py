@@ -299,7 +299,13 @@ def _dia_matvec(bands, offsets, free_lat, x):
     FMAs — zero gathers/scatters, which on TPU cost ~15 ns per indexed
     element and dominate every other operator format (NOTES.md op-cost
     table).  Out-of-range slots hold zeros by construction (no wraparound:
-    band values come from actual pattern entries)."""
+    band values come from actual pattern entries).
+
+    PRECONDITION (same as ``ebe_matvec``): the band values must come from
+    bc-MASKED element blocks (km outer product) — x is NOT zeroed at bc
+    dofs here, so unmasked bc-column entries would leak bc components of
+    x into free rows and break the identity-bc-row invariant
+    (DESIGN.md / the inner-CG stagnation regression)."""
     n = x.shape[0]
     dt = bands.dtype
     w = max(max(abs(o) for o in offsets), 1)
@@ -725,6 +731,9 @@ def ebe_matvec(K_blocks, dofmap, bc_mask, n, psum=None, *, mode="scalar", bs=2):
     """
     if psum is None:
         psum = lambda x: x
+    if mode not in ("scalar", "node"):
+        raise ValueError(f"ebe_matvec mode must be 'scalar' or 'node', got "
+                         f"{mode!r} (the banded layout is mg_setup(dia=...))")
     dt = K_blocks.dtype
     free = ~bc_mask
     nc, nk = dofmap.shape
@@ -777,6 +786,10 @@ def mg_setup(statics, K0_cell_f32, dofmap, bc_mask, n0, psum=None, *, power_iter
     refinement-round boundary (``ir_pcg`` to_inner/from_inner)."""
     if psum is None:
         psum = lambda x: x
+    if mv0_mode == "dia" and dia is None:
+        raise ValueError("mv0_mode='dia' requires the dia= dict (band dst "
+                         "map, offsets, lattice bc mask) — see "
+                         "build_mg_statics(dia=True)")
     levels, transfers = statics["levels"], statics["transfers"]
 
     if dia is not None:

@@ -368,12 +368,15 @@ class FusedPlasticityStep:
         self._mg_lat_shapes = mgs.pop("lat_shapes", None)
         if self._mg_mv0_mode == "auto":
             self._mg_mv0_mode = ("dia" if self._mg_dia_offsets is not None
-                                 else "scalar")
+                                 else "node")
         elif self._mg_mv0_mode == "dia" and self._mg_dia_offsets is None:
             import warnings
 
-            warnings.warn("mv0_mode='dia' needs a lattice-structured mesh; "
-                          "falling back to 'node'", stacklevel=3)
+            warnings.warn(
+                "mv0_mode='dia' unavailable: the mesh is not "
+                "lattice-structured (or its operator exceeds the 128-band "
+                "cap in build_mg_statics); falling back to 'node'",
+                stacklevel=3)
             self._mg_mv0_mode = "node"
         t0 = mgs["transfers"][0]
         nnz1 = mgs["levels"][0]["cols"].size

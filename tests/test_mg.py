@@ -431,3 +431,76 @@ def test_dia_falls_back_off_lattice():
                                  mg_opts={"mv0_mode": "dia"})
     assert fp._mg_mv0_mode == "node"
     assert any("lattice" in str(x.message) for x in w)
+
+
+def test_dia_hierarchy_galerkin_matches_scipy():
+    """Structural oracle for the LATTICE-numbered hierarchy (the dia
+    default): device level-1 ELL values equal R1 (P0^T K0 P0) R1^T from an
+    independent scipy chain, and the dia V-cycle is a linear operator.
+    The scalar-mode variants of these checks never see the permuted
+    build, so a wrong permutation in P0 columns / vdofs / RBM rows would
+    otherwise only degrade convergence silently."""
+    import scipy.sparse as sp
+
+    mesh, V, S, kernel, bc_dofs = _slope_fixture(Nx=8)
+    fp = FusedPlasticityStep(mesh, V, S, kernel, bc_dofs, linear_solver="mg")
+    assert fp._mg_mv0_mode == "dia"
+    n = V.num_dofs
+    bs = V.bs
+
+    C_el = np.asarray(kernel(jnp.zeros(4), jnp.zeros(4))[0])
+    B_np = np.asarray(fp.statics["B"])
+    wdet = np.asarray(fp.statics["wdet"])
+    K_cell = np.einsum("cqik,ij,cqjl,cq->ckl", B_np, C_el, B_np, wdet)
+    keep = np.concatenate([~fp.bc_mask_np, [False]])
+    km = keep[np.asarray(fp.statics["dofmap"])]
+    K_dev = jnp.asarray(K_cell * km[:, :, None] * km[:, None, :], jnp.float32)
+    mg_st = fp.statics["mg"]
+    dia = {"dst": mg_st["dia0_dst"], "offsets": fp._mg_dia_offsets,
+           "mask_lat": mg_st["mask0_lat"]}
+    if fp._mg_dia1_offsets is not None:
+        dia.update(dst1=mg_st["dia1_dst"], offsets1=fp._mg_dia1_offsets)
+    rt = mgmod.mg_setup(mg_st, K_dev, fp.statics["dofmap"],
+                        fp.statics["bc_mask"], n, dia=dia)
+
+    # independent scipy chain, then permute to the level-1 lattice order
+    dm = np.asarray(V.unrolled_dofmap)
+    K0 = mgmod._eliminate_bc(
+        mgmod._csr_from_blocks(K_cell[: fp.nc], dm.astype(np.int64), n),
+        fp.bc_mask_np)
+    P0 = mgmod._p2_to_p1_interpolation(mesh, bs, fp.bc_mask_np)
+    K1 = (P0.T @ K0 @ P0).tocsr()
+    vert_perm, _ = mgmod._lattice_node_perm(mesh.points[:, :2])
+    p1 = (vert_perm[:, None] * bs + np.arange(bs)[None, :]).ravel()
+    K1_lat = K1[p1][:, p1].tocsr()
+
+    cols = np.asarray(mg_st["levels"][0]["cols"])
+    vals = np.asarray(rt["vals"][0])
+    rows = np.repeat(np.arange(cols.shape[0]), cols.shape[1])
+    got = sp.coo_matrix((vals.ravel(), (rows, cols.ravel())),
+                        shape=K1_lat.shape).tocsr()
+    err = abs(got - K1_lat).max()
+    assert err < 5e-6 * abs(K1_lat).max(), err
+
+    # the level-1 DIA matvec agrees with that matrix
+    if fp._mg_dia1_offsets is not None:
+        rng = np.random.default_rng(5)
+        x1 = rng.normal(size=K1_lat.shape[0]).astype(np.float32)
+        y_dia = np.asarray(rt["mvs"][0](jnp.asarray(x1)))
+        y_ref = K1_lat @ x1
+        assert np.allclose(y_dia, y_ref, rtol=1e-4,
+                           atol=1e-4 * np.abs(y_ref).max())
+
+    # dia V-cycle linearity (with the stencil transfers engaged)
+    t0s = None
+    if fp._mg_t0_stencil is not None:
+        shape0, shape1 = fp._mg_lat_shapes
+        t0s = (fp._mg_t0_stencil, shape0, shape1, bs,
+               ~mg_st["mask0_lat"])
+    M = jax.jit(lambda r: mgmod.vcycle(mg_st, rt, r, t0s=t0s))
+    rng = np.random.default_rng(3)
+    r1 = jnp.asarray(rng.normal(size=n), jnp.float32)
+    r2 = jnp.asarray(rng.normal(size=n), jnp.float32)
+    lin = M(2.0 * r1 - 3.0 * r2)
+    combo = 2.0 * M(r1) - 3.0 * M(r2)
+    assert np.allclose(np.asarray(lin), np.asarray(combo), rtol=1e-4, atol=1e-4)
