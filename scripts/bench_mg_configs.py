@@ -17,6 +17,7 @@ pick defaults; on CPU the ranking is meaningless (different op-cost model).
 Usage: python scripts/bench_mg_configs.py [NX] [N_STEPS]   (default 50 4)
 """
 import functools
+import os
 import sys
 import time
 
@@ -24,6 +25,7 @@ import numpy as np
 
 import jax
 
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 jax.config.update("jax_enable_x64", True)
 
 

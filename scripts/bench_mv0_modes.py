@@ -17,6 +17,7 @@ default; layouts are verified identical by
 
 Usage: python scripts/bench_mv0_modes.py [NX ...]   (default: 50 100 200)
 """
+import os
 import sys
 import time
 
@@ -25,6 +26,7 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 jax.config.update("jax_enable_x64", True)
 
 

@@ -16,6 +16,7 @@ and reports pts/s for (1) plus the share of (2) it accounts for.
 
 Usage: python scripts/profile_e2e_kernel_share.py [NX] [CHUNK]
 """
+import os
 import sys
 import time
 
@@ -24,6 +25,7 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 jax.config.update("jax_enable_x64", True)
 
 
