@@ -207,7 +207,7 @@ class NewtonSolver:
 
     def __init__(self, atol=1e-8, rtol=1e-8, max_it=100, monitor=False,
                  ksp_type="preonly", ksp_rtol=1e-12, ksp_atol=0.0, ksp_max_it=None,
-                 pc_type="jacobi"):
+                 pc_type="jacobi", snes_type="newtonls"):
         self.atol = atol
         self.rtol = rtol
         self.max_it = max_it
@@ -220,9 +220,32 @@ class NewtonSolver:
         # the scalable option; the reference's {"pc_type": "lu"} maps to
         # ksp_type "preonly")
         self.pc_type = pc_type
+        # "newtonls" (plain line-searched Newton) or "vinewtonrsls"
+        # (reduced-space active-set Newton for bound constraints
+        # lb <= x <= ub, PETSc's SNESVINEWTONRSLS — the snes_type every
+        # reference plasticity demo requests,
+        # ``demo_plasticity_von_mises.py:423``).  Without bounds installed
+        # (``set_variable_bounds``) the two are identical, which is how the
+        # reference demos actually run it.
+        if snes_type not in ("newtonls", "vinewtonrsls"):
+            raise ValueError(f"unknown snes_type {snes_type!r}")
+        self.snes_type = snes_type
+        self._bounds = None
         self.iterations = 0
         self.ksp_iterations = 0
         self._mg = None  # lazily-built (statics, jitted solver) pair
+
+    def set_variable_bounds(self, lb, ub):
+        """``SNES.setVariableBounds`` equivalent: install per-dof bounds
+        ``lb <= x <= ub`` (scalars broadcast) for ``snes_type=
+        'vinewtonrsls'``.  At each iteration the active set
+        ``{i : (x_i <= lb_i and F_i > 0) or (x_i >= ub_i and F_i < 0)}``
+        is frozen (delta_i = 0, row/col eliminated like a Dirichlet row),
+        the Newton system is solved on the inactive set, and the iterate is
+        projected back into the box; convergence is tested on the reduced
+        residual (F_i on the inactive set), matching PETSc's RSLS
+        semantics."""
+        self._bounds = (lb, ub)
 
     def _mg_solve(self, problem, elems, mask, b, maxiter):
         """AMG-preconditioned CG on the element-blocked Jacobian (general
@@ -288,6 +311,18 @@ class NewtonSolver:
         n = u.function_space.num_dofs
         mask, g = bc_arrays(problem.bcs, n)
         matrix_free = self.ksp_type in ("cg", "gmres", "bicgstab")
+        vi = self.snes_type == "vinewtonrsls" and self._bounds is not None
+        if vi:
+            if self.pc_type == "mg":
+                raise NotImplementedError(
+                    "snes_type='vinewtonrsls' with bounds is not supported "
+                    "with pc_type='mg' (the AMG hierarchy is frozen on a "
+                    "fixed elimination mask; the active set changes per "
+                    "iteration) — use preonly/cg/gmres/bicgstab with "
+                    "pc_type='jacobi'")
+            dt = u.data.dtype
+            lb = jnp.broadcast_to(jnp.asarray(self._bounds[0], dt), (n,))
+            ub = jnp.broadcast_to(jnp.asarray(self._bounds[1], dt), (n,))
         if self.pc_type == "mg" and self.ksp_type != "cg":
             # must fire for preonly (the default) too — falling through to
             # the dense direct path would silently LU-factorize an (n, n)
@@ -312,16 +347,18 @@ class NewtonSolver:
                 r = r + problem.J.action(dx_bc)
             return jnp.where(mask, x - g, r)
 
-        def newton_step(r):
-            """delta solving  J_elim @ delta = -r  (BC rows/cols eliminated)."""
+        def newton_step(r, emask):
+            """delta solving  J_elim @ delta = -r  (rows/cols of ``emask``
+            — BC dofs plus, under vinewtonrsls, the active bound set —
+            eliminated)."""
             if matrix_free:
                 elems = problem.J.element_tensors()
-                diag = jnp.where(mask, 1.0, problem.J.diagonal())
+                diag = jnp.where(emask, 1.0, problem.J.diagonal())
                 # PETSc KSP default maxits parity (10000); the breakdown
                 # guard in _ebe_pcg exits earlier at the rounding floor
                 maxiter = self.ksp_max_it if self.ksp_max_it is not None else min(10 * n, 10000)
                 if self.ksp_type == "cg" and self.pc_type == "mg":
-                    delta, k = self._mg_solve(problem, elems, mask, -r, maxiter)
+                    delta, k = self._mg_solve(problem, elems, emask, -r, maxiter)
                     self.ksp_iterations += int(k)
                     return delta
                 if self.ksp_type == "cg":
@@ -329,14 +366,14 @@ class NewtonSolver:
                         tuple(e for e, _, _ in elems),
                         tuple(td for _, td, _ in elems),
                         tuple(ud for _, _, ud in elems),
-                        mask, diag, -r, self.ksp_rtol, self.ksp_atol, maxiter)
+                        emask, diag, -r, self.ksp_rtol, self.ksp_atol, maxiter)
                     self.ksp_iterations += int(k)
                     return delta
                 # gmres / bicgstab for non-symmetric Jacobians, over the
                 # same EBE matvec with Jacobi preconditioning
                 from jax.scipy.sparse import linalg as jsla
 
-                free = ~mask
+                free = ~emask
 
                 def matvec(x):
                     xz = jnp.where(free, x, 0.0)
@@ -344,7 +381,7 @@ class NewtonSolver:
                     for e, td, ud in elems:
                         y = jnp.einsum("cij,cj->ci", e, xz[ud])
                         out = out + jax.ops.segment_sum(y.ravel(), td.ravel(), num_segments=n)
-                    return jnp.where(free, out, 0.0) + jnp.where(mask, x, 0.0)
+                    return jnp.where(free, out, 0.0) + jnp.where(emask, x, 0.0)
 
                 # same zero-diagonal guard as _ebe_pcg: gmres/bicgstab target
                 # non-symmetric/indefinite systems where a zero diagonal entry
@@ -362,32 +399,59 @@ class NewtonSolver:
                     raise ValueError(f"unknown ksp_type {self.ksp_type!r}")
                 return delta
             A = problem.J.matrix()
-            keep = (~mask).astype(A.dtype)
-            A_t = A * keep[:, None] * keep[None, :] + jnp.diag(mask.astype(A.dtype))
+            keep = (~emask).astype(A.dtype)
+            A_t = A * keep[:, None] * keep[None, :] + jnp.diag(emask.astype(A.dtype))
             return solve_dense(A_t, -r)
 
+        def vi_active(r):
+            """RSLS active set: dofs pinned on a bound whose residual pushes
+            them FURTHER out of the box (complementarity sign convention:
+            at x = lb feasibility requires F >= 0, at x = ub it requires
+            F <= 0).  The iterate is kept inside the box by projection, so
+            the bound comparisons are exact."""
+            x = u.data
+            return (~mask) & (((x <= lb) & (r > 0.0)) | ((x >= ub) & (r < 0.0)))
+
+        def rnorm(r):
+            """Convergence norm: PETSc RSLS tests the REDUCED residual —
+            active-set components are feasible by complementarity, not
+            zero."""
+            if not vi:
+                return float(jnp.linalg.norm(r))
+            return float(jnp.linalg.norm(jnp.where(vi_active(r), 0.0, r)))
+
+        if vi:
+            u._data = jnp.clip(u.data, lb, ub)
         r = residual()
-        norm0 = float(jnp.linalg.norm(r))
+        norm0 = rnorm(r)
         norm = norm0
         it = 0
         if self.monitor:
             print(f"  0 SNES Function norm {norm0:.12e}")
         converged = norm0 < self.atol
         while not converged and it < self.max_it:
-            delta = newton_step(r)
-            u._data = u._data + delta
+            if vi:
+                active = vi_active(r)
+                delta = newton_step(jnp.where(active, 0.0, r), mask | active)
+                delta = jnp.where(active, 0.0, delta)
+                u._data = jnp.clip(u._data + delta, lb, ub)
+            else:
+                delta = newton_step(r, mask)
+                u._data = u._data + delta
             it += 1
             r = residual()
-            new_norm = float(jnp.linalg.norm(r))
+            new_norm = rnorm(r)
             # divergence-only backtracking: full steps on nominal paths (the
             # reference's "basic" line search), halved steps only when the
             # residual grows strongly (robustness; the reference would fail)
             alpha = 1.0
             while new_norm > 2.0 * norm and alpha > 2**-8:
                 u._data = u._data - alpha * 0.5 * delta  # retract to alpha/2
+                if vi:
+                    u._data = jnp.clip(u._data, lb, ub)
                 alpha *= 0.5
                 r = residual()
-                new_norm = float(jnp.linalg.norm(r))
+                new_norm = rnorm(r)
             norm = new_norm
             if self.monitor:
                 print(f"  {it} SNES Function norm {norm:.12e}")
@@ -421,6 +485,10 @@ class NonlinearProblem:
             ksp_atol=float(opts.get("ksp_atol", 0.0)),
             ksp_max_it=(int(opts["ksp_max_it"]) if "ksp_max_it" in opts else None),
             pc_type=str(opts.get("pc_type", "jacobi")),
+            # the reference demos all pass {"snes_type": "vinewtonrsls"}
+            # (with no bounds installed — identical to plain Newton there);
+            # bounds go in via solver.set_variable_bounds
+            snes_type=str(opts.get("snes_type", "newtonls")),
         )
         self.external_callback = external_callback
         self.callback_args = tuple(callback_args)
