@@ -56,9 +56,12 @@ def main():
           f"(incl. padding)", flush=True)
 
     # representative plastic state: two load steps into the slope schedule
+    # (host-driven at >=100: a fused multi-Newton execution exceeds the
+    # TPU tunnel's ~60 s per-execution kill)
+    step = fp.run_step_host if nx >= 100 else fp.run_step
     Du, sig = fp.zero_state()
     for load in (2.0, 14.0):
-        Du, sig, norm, its, cg = fp.run_step(Du, sig, load)
+        Du, sig, norm, its, cg = step(Du, sig, load)
     jax.block_until_ready((Du, sig))
     print(f"state after 2 steps: newton={int(its)} cg={int(cg)} "
           f"norm={float(norm):.2e}", flush=True)
