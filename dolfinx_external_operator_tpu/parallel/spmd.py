@@ -60,16 +60,42 @@ def _blocked_tri_inv(L, base=256):
     """Explicit inverse of a lower-triangular matrix by blocked recursion:
     inv([[L11, 0], [L21, L22]]) = [[inv11, 0], [-inv22 L21 inv11, inv22]].
     All the work above the base case is (m/2)-sized matmuls on the MXU;
-    XLA's triangular solves are row-sequential and ~2.4x slower at n~5k."""
+    XLA's triangular solves are row-sequential and ~2.4x slower at n~5k.
+
+    The base-case inversions are hoisted out of the recursion and done as
+    ONE vmapped triangular solve over all diagonal ``base``-blocks (padded
+    with an identity diagonal extension — the inverse of ``[[L, 0], [0,
+    I]]`` is ``[[inv(L), 0], [0, I]]``): the row-sequential solves run
+    batched instead of as ~m/base serial dispatches, leaving only the
+    log-depth matmul tree sequential."""
     m = L.shape[0]
     if m <= base:
         return jax.scipy.linalg.solve_triangular(
             L, jnp.eye(m, dtype=L.dtype), lower=True)
-    h = m // 2
-    I11 = _blocked_tri_inv(L[:h, :h], base)
-    I22 = _blocked_tri_inv(L[h:, h:], base)
-    Z = jnp.zeros((h, m - h), L.dtype)
-    return jnp.block([[I11, Z], [-I22 @ (L[h:, :h] @ I11), I22]])
+    kb = -(-m // base)
+    mp = kb * base
+    Lp = L
+    if mp != m:
+        idx = jnp.arange(m, mp)
+        Lp = jnp.zeros((mp, mp), L.dtype).at[:m, :m].set(L)
+        Lp = Lp.at[idx, idx].set(1.0)
+    r = jnp.arange(kb)
+    diag = Lp.reshape(kb, base, kb, base)[r, :, r, :]  # (kb, base, base)
+    eye = jnp.eye(base, dtype=L.dtype)
+    Dinv = jax.vmap(lambda A: jax.scipy.linalg.solve_triangular(
+        A, eye, lower=True))(diag)
+
+    def rec(lo, hi):
+        if hi - lo == 1:
+            return Dinv[lo]
+        h = (hi - lo) // 2
+        I11 = rec(lo, lo + h)
+        I22 = rec(lo + h, hi)
+        L21 = Lp[(lo + h) * base:hi * base, lo * base:(lo + h) * base]
+        Z = jnp.zeros((h * base, (hi - lo - h) * base), L.dtype)
+        return jnp.block([[I11, Z], [-I22 @ (L21 @ I11), I22]])
+
+    return rec(0, kb)[:m, :m]
 
 
 def _spd_inv_chol(Ks32):
@@ -581,11 +607,33 @@ class FusedPlasticityStep:
             # layout when available: at 100x100 one f64 EBE matvec is
             # 45 ms — NOTES op-cost table — and runs once per refinement
             # round, a real share of the solve)
-            mv = _mg.ebe_matvec(K_cell, dof, mask, n_dofs, psum,
-                                mode="scalar" if self._mg_mv0_mode == "scalar"
-                                else "node", bs=self.V.bs)
+            if not dia_mode:
+                mv = _mg.ebe_matvec(K_cell, dof, mask, n_dofs, psum,
+                                    mode="scalar" if self._mg_mv0_mode == "scalar"
+                                    else "node", bs=self.V.bs)
 
             if dia_mode:
+                # f64 refinement operator in DIA form: band values are
+                # exact f64 segment-sums of the same masked element blocks
+                # the EBE operator would consume (only the summation order
+                # differs, ~1e-15 relative), but the matvec is shifted
+                # slices + FMAs — f64 EBE costs 45 ms at 100x100 vs a few
+                # ms banded.  One extra f64 segment_sum per Newton buys
+                # back every refinement round's matvec.
+                offsets = self._mg_dia_offsets
+                nbands = len(offsets)
+                dst = st["mg"]["dia0_dst"]
+                vals64 = psum(jax.ops.segment_sum(
+                    K_cell.reshape(K_cell.shape[0], -1).ravel(),
+                    dst.ravel(), num_segments=nbands * n_dofs + 1
+                )[:-1]).reshape(nbands, n_dofs)
+                free_lat64 = ~st["mg"]["mask0_lat"]
+                l2o64 = st["mg"]["perm0_l2o"]
+                o2l64 = st["mg"]["perm0_o2l"]
+
+                def mv(x):
+                    yl = _mg._dia_matvec(vals64, offsets, free_lat64, x[l2o64])
+                    return yl[o2l64]
                 # the f32 iteration runs in the private LATTICE numbering
                 # (gather-free stencil matvec); permute only at the
                 # refinement-round boundary — ~4 gathers per solve
