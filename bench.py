@@ -246,6 +246,24 @@ def main():
     record["e2e_cpu_same_pipeline"] = e2e_cpu
     record["e2e_tpu_vs_cpu"] = round(e2e_cpu["wall_s"] / e2e_tpu["wall_s"], 2)
 
+    # Second, reference-ALGORITHM CPU baseline (recorded full-schedule run
+    # of scripts/bench_reference_proxy.py: the reference demo's own
+    # algorithm — f64 jacfwd return-mapping kernel, per-Newton sparse
+    # direct LU — on this host).  The same-pipeline number above is the
+    # conservative hardware ratio (the CPU gets every algorithmic win);
+    # this one is the algorithm+hardware ratio against what the reference
+    # actually runs.
+    try:
+        rec_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                                "docs", "records", "reference_proxy_25x25.json")
+        with open(rec_path) as fh:
+            proxy = json.load(fh)
+        record["e2e_cpu_reference_algorithm"] = proxy
+        record["e2e_tpu_vs_reference_algorithm"] = round(
+            proxy["per_step_s"] / e2e_tpu["per_step_s"], 1)
+    except (OSError, KeyError, ValueError) as e:
+        record["e2e_cpu_reference_algorithm"] = {"error": str(e)[:120]}
+
     _log("bench: scaling curve (fused AMG-CG path, sorted kernel)...")
     scaling = record["scaling"] = {}
     short = full_schedule[:3]

@@ -56,11 +56,14 @@ def _pad_to(x, n, value=0):
     return np.pad(x, padding, mode="constant", constant_values=value)
 
 
-def _blocked_tri_inv(L, base=256):
+def _blocked_tri_inv(L, base=128):
     """Explicit inverse of a lower-triangular matrix by blocked recursion:
     inv([[L11, 0], [L21, L22]]) = [[inv11, 0], [-inv22 L21 inv11, inv22]].
     All the work above the base case is (m/2)-sized matmuls on the MXU;
     XLA's triangular solves are row-sequential and ~2.4x slower at n~5k.
+    Base swept on v5e at n=5202 (scripts/bench_tri_inv_base.py, round 3):
+    96-128 -> 7.8 ms, 256 -> 8.5, 512 -> 10.7; flat enough that 128 is
+    safe across sizes.
 
     The base-case inversions are hoisted out of the recursion and done as
     ONE vmapped triangular solve over all diagonal ``base``-blocks (padded
@@ -166,8 +169,13 @@ class FusedPlasticityStep:
         # f64 refinement rounds on top of the equilibrated f32 solve: each
         # round multiplies accuracy by ~1e-5..1e-6; round counts 1-3 all
         # measured Newton-iterate-identical on the slope schedule (maxdiff
-        # 2.8e-15 at 1), 2 keeps an order-of-magnitude safety margin.
-        self._dense_refine = 2
+        # 2.8e-15 at 1, re-validated round 3: identical Newton counts and
+        # per-step splits over the full 52-step schedule).  One round
+        # reaches ~1e-10 relative — two orders below the 1e-8 Newton
+        # tolerance — and each extra round costs an exact f64 element
+        # matvec + a factor application (~5 ms/update at 25x25 on v5e,
+        # ~17% of the update).
+        self._dense_refine = 1
         # Eisenstat-Walker forcing inside the FUSED Newton loop: the CG
         # target each iteration is max(cg_rtol, min(cap, sqrt(norm/norm0)))
         # — traced, so the single-execution path gets inexact Newton too.
