@@ -25,9 +25,10 @@ the published demo (cited, not copied):
 - global Newton: same atol/rtol = 1e-8 and the identical 52-step load
   schedule.
 
-Newton iteration counts are asserted against the tuned pipeline's (the
-two implement the same mathematics), making the per-step wall-clock ratio
-an apples-to-apples "vs the reference algorithm on this CPU" number.
+Global Newton iteration counts are recorded in the JSON output;
+``bench.py`` compares them against the tuned pipeline's live run (the two
+implement the same mathematics), making the per-step wall-clock ratio an
+apples-to-apples "vs the reference algorithm on this CPU" number.
 
 Usage: python scripts/bench_reference_proxy.py [NX] [N_STEPS]
 Prints one JSON line with per-step timings and Newton counts.
@@ -91,9 +92,13 @@ def make_reference_kernel(mat):
     drdy = jax.jacfwd(r)
 
     def return_mapping(deps_local, sigma_n_local):
+        # init at sigma_n (NOT the elastic trial state), matching the
+        # reference demo's return_mapping (:496 `sigma_local = sigma_n_local`)
+        # so elastic Gauss points do >=1 inner iteration exactly as the
+        # reference does; the max(norm_res0, eps) guard below covers the
+        # zero-residual corner the reference leaves implicit
         niter = 0
-        y = jnp.concatenate([sigma_n_local + C_elas @ deps_local,
-                             jnp.zeros(1)])
+        y = jnp.concatenate([sigma_n_local, jnp.zeros(1)])
         res0 = r(y, deps_local, sigma_n_local)
         norm_res0 = jnp.linalg.norm(res0)
 

@@ -39,6 +39,10 @@ def run(refine):
     fp = FusedPlasticityStep(mesh, V, S, kernel, bc, linear_solver="dense",
                              batched_kernel=mat.batched_kernel_sorted(4096))
     fp._dense_refine = refine  # before first call: the step traces lazily
+    # force the Cholesky branch: on CPU dense_solve would default to LU,
+    # but TPU production runs the Chol/blocked-tri-inv factorization — the
+    # reduced-refinement margin must be validated on THAT path (ADVICE r3)
+    fp._dense_fact = "chol"
     loads = np.concatenate([np.linspace(2, 22.9, 50), [22.96, 22.99]])
     Du, sig = fp.zero_state()
     its = []
