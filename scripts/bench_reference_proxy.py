@@ -166,7 +166,14 @@ def main():
     full_schedule = np.concatenate([np.linspace(2, 22.9, 50),
                                     np.array([22.96, 22.99])])[:n_steps]
 
-    Du = np.zeros(n)
+    # Du init = 1.0, matching the reference demo (:645 ``Du.x.array[:] = 1.0``).
+    # This is load-bearing: the strain of a constant-1 FE field is roundoff-
+    # level (~1e-16) but NONZERO, so every Gauss point's inner Newton does
+    # exactly one iteration and lands on the elastic tangent.  An exactly-zero
+    # Du gives exactly-zero strain -> zero inner residual -> zero iterations ->
+    # zero tangent -> singular first Jacobian (verified: SuperLU "Factor is
+    # exactly singular").  The reference demo relies on the same effect.
+    Du = np.ones(n)
     sigma_n = np.zeros((nc * nq, 4))
     newton_per_step = []
     kernel_s = 0.0
@@ -214,6 +221,9 @@ def main():
             its += 1
         newton_per_step.append(its)
         sigma_n = np.asarray(sigma_flat)
+        print(f"  proxy step {len(newton_per_step) - 1}: load={load:.2f} "
+              f"newton={its} t={time.perf_counter() - t0:.1f}s",
+              file=sys.stderr, flush=True)
     wall = time.perf_counter() - t0
 
     rec = {
