@@ -23,6 +23,10 @@ def main(num_increments=20, lc=0.3, plot=True):
     diff = np.abs(ext["results"][:, 0] - pure["results"][:, 0]).max()
     print(f"collapse load q_lim = {Q_LIM:.3f} MPa")
     print(f"external vs pure-form twin max displacement diff: {diff:.3e}")
+    # machine-checkable parity line: tests compare this across device-mesh
+    # sizes (the reference CI's mpirun -n 2 demo runs,
+    # .github/workflows/build-and-test.yml:52-54)
+    print(f"final_displacement={ext['results'][-1, 0]:.17g}")
     assert diff < 1e-9
     if plot:
         from dolfinx_external_operator_tpu.utils.plots import save_load_displacement
@@ -43,5 +47,20 @@ def main(num_increments=20, lc=0.3, plot=True):
 
 
 if __name__ == "__main__":
+    if "--devices" in sys.argv:
+        # run the whole demo with every form sharded over an n-device mesh
+        # (the reference CI runs each demo under ``mpirun -n 2``,
+        # .github/workflows/build-and-test.yml:52-54; the TPU analog is
+        # GSPMD over a jax.sharding.Mesh installed as the default)
+        n_dev = int(sys.argv[sys.argv.index("--devices") + 1])
+        os.environ["XLA_FLAGS"] = (
+            f"--xla_force_host_platform_device_count={n_dev} "
+            + os.environ.get("XLA_FLAGS", ""))
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
+        from dolfinx_external_operator_tpu import parallel
+
+        parallel.set_default_device_mesh(parallel.make_device_mesh(n_dev))
     main(num_increments=8 if "--small" in sys.argv else 20,
          plot="--no-plot" not in sys.argv)
