@@ -254,24 +254,40 @@ class NewtonSolver:
         The hierarchy STRUCTURE is built once per problem from the Jacobian
         at the first call (u = initial guess => the elastic operator for the
         usual zero start); per-Newton VALUES flow through the fixed maps.
-        Requires a single cell-integral batch with test dofs == trial dofs
-        (the symmetric displacement-block case, e.g. hyperelasticity)."""
+
+        Multi-batch Jacobians (several cell integrals over the same space,
+        e.g. split measures or mixed quadrature degrees) are supported: the
+        hierarchy and the smoother values come from the DOMINANT batch (the
+        full-domain integral whose dofmap is the space's own) — a
+        preconditioner-quality choice only — while the exact f64 CG operator
+        and the f32 iteration operator include EVERY batch, so iterates and
+        Newton counts are those of the true Jacobian.  All batches need
+        test dofs == trial dofs (the symmetric displacement-block case)."""
         from .parallel import mg as mgmod
 
-        if len(elems) != 1:
-            raise NotImplementedError(
-                "pc_type='mg' supports a single cell-integral batch; this "
-                f"Jacobian has {len(elems)} (use pc_type='jacobi')")
-        K_cell, tdofs, udofs = elems[0]
         if self._mg is None:
             V = problem.J.test_space
-            if not bool(jnp.all(tdofs == udofs)):
+            dm_V = jnp.asarray(V.unrolled_dofmap)
+            dom = None
+            for i, (K_cell, tdofs, udofs) in enumerate(elems):
+                if not bool(jnp.all(tdofs == udofs)):
+                    raise NotImplementedError(
+                        "pc_type='mg' needs test dofs == trial dofs (the "
+                        "symmetric displacement-block case); this Jacobian's "
+                        f"cell batch {i} maps different spaces — use "
+                        "pc_type='jacobi'")
+                if (dom is None and tdofs.shape == dm_V.shape
+                        and bool(jnp.all(tdofs == dm_V))):
+                    dom = i
+            if dom is None:
                 raise NotImplementedError(
-                    "pc_type='mg' needs test dofs == trial dofs (the "
-                    "symmetric displacement-block case); this Jacobian's "
-                    "cell batch maps different spaces — use pc_type='jacobi'")
+                    "pc_type='mg' needs one full-domain cell-integral batch "
+                    "over the whole space (the aggregation/smoothing proxy); "
+                    f"none of the {len(elems)} batches covers it — use "
+                    "pc_type='jacobi'")
+            tdofs_all = tuple(td for _, td, _ in elems)
             statics_np = mgmod.build_mg_statics(
-                problem.J.mesh, V, np.asarray(mask), np.asarray(K_cell),
+                problem.J.mesh, V, np.asarray(mask), np.asarray(elems[dom][0]),
                 # same large-mesh default as FusedPlasticityStep._setup_mg:
                 # freeze aggregation-level values to their elastic Galerkin
                 # projection (the full per-Newton maps are ~GB-scale at
@@ -282,14 +298,35 @@ class NewtonSolver:
             n = V.num_dofs
 
             @jax.jit
-            def mg_pcg(K_cell, b, rtol, atol, maxiter):
-                km = jnp.where(mask, 0.0, 1.0)[tdofs]
-                Kb = K_cell * km[:, :, None] * km[:, None, :]
-                rt = mgmod.mg_setup(statics, Kb.astype(_F32), tdofs, mask, n)
+            def mg_pcg(K_cells, b, rtol, atol, maxiter):
+                Kbs = []
+                for K_cell, tdofs in zip(K_cells, tdofs_all):
+                    km = jnp.where(mask, 0.0, 1.0)[tdofs]
+                    Kbs.append(K_cell * km[:, :, None] * km[:, None, :])
+                rt = mgmod.mg_setup(statics, Kbs[dom].astype(_F32),
+                                    tdofs_all[dom], mask, n)
 
-                # exact f64 operator via the one shared element-blocked
-                # matvec (identity-bc-row invariant lives in ebe_matvec)
-                mv = mgmod.ebe_matvec(Kb, tdofs, mask, n)
+                # exact operators via the one shared element-blocked matvec
+                # (identity-bc-row invariant lives in ebe_matvec); each call
+                # contributes identity on bc rows, so summing k batches
+                # subtracts the k-1 duplicated bc identities
+                mvs64 = [mgmod.ebe_matvec(Kb, td, mask, n)
+                         for Kb, td in zip(Kbs, tdofs_all)]
+                sec32 = [mgmod.ebe_matvec(Kb.astype(_F32), td, mask, n)
+                         for i, (Kb, td) in enumerate(zip(Kbs, tdofs_all))
+                         if i != dom]
+
+                def mv(x):
+                    out = mvs64[0](x)
+                    for m in mvs64[1:]:
+                        out = out + m(x) - jnp.where(mask, x, 0.0)
+                    return out
+
+                def mv32(x):
+                    out = rt["mv0"](x)
+                    for m in sec32:
+                        out = out + m(x) - jnp.where(mask, x, 0.0).astype(_F32)
+                    return out
 
                 def M32(r):
                     z = mgmod.vcycle(statics, rt,
@@ -300,11 +337,12 @@ class NewtonSolver:
                 # mixed-precision IR-PCG (f32 iteration, f64 refinement;
                 # see mg.ir_pcg) with the shared safeguard structure;
                 # atol keeps KSP-convergence parity with the jacobi path
-                return mgmod.ir_pcg(mv, rt["mv0"], M32, b, rtol, maxiter,
+                return mgmod.ir_pcg(mv, mv32, M32, b, rtol, maxiter,
                                     atol=atol)
 
             self._mg = mg_pcg
-        return self._mg(K_cell, b, self.ksp_rtol, self.ksp_atol, maxiter)
+        return self._mg(tuple(K for K, _, _ in elems), b,
+                        self.ksp_rtol, self.ksp_atol, maxiter)
 
     def solve(self, problem) -> tuple[int, bool]:
         u = problem.u
