@@ -262,7 +262,18 @@ class NewtonSolver:
         preconditioner-quality choice only — while the exact f64 CG operator
         and the f32 iteration operator include EVERY batch, so iterates and
         Newton counts are those of the true Jacobian.  All batches need
-        test dofs == trial dofs (the symmetric displacement-block case)."""
+        test dofs == trial dofs (the symmetric displacement-block case).
+
+        ``mask`` is the per-call ELIMINATION mask — Dirichlet dofs plus,
+        under ``vinewtonrsls``, the current active bound set.  It is a
+        traced argument of the compiled solve: the hierarchy STRUCTURE
+        (aggregation, transfers, bc-zeroed interpolation) is frozen on the
+        Dirichlet-only mask, while the exact CG operator, the f32
+        iteration operator and the smoother values honor the full
+        elimination mask every call.  Active dofs therefore see an
+        identity preconditioner row (the V-cycle output is overwritten on
+        masked rows) — a preconditioner-quality approximation only; CG
+        still converges to the exact reduced-system solution."""
         from .parallel import mg as mgmod
 
         if self._mg is None:
@@ -286,8 +297,11 @@ class NewtonSolver:
                     f"none of the {len(elems)} batches covers it — use "
                     "pc_type='jacobi'")
             tdofs_all = tuple(td for _, td, _ in elems)
+            # hierarchy structure frozen on the Dirichlet-only mask (the
+            # per-call mask may carry a changing VI active set)
+            bc_only, _ = bc_arrays(problem.bcs, V.num_dofs)
             statics_np = mgmod.build_mg_statics(
-                problem.J.mesh, V, np.asarray(mask), np.asarray(elems[dom][0]),
+                problem.J.mesh, V, np.asarray(bc_only), np.asarray(elems[dom][0]),
                 # same large-mesh default as FusedPlasticityStep._setup_mg:
                 # freeze aggregation-level values to their elastic Galerkin
                 # projection (the full per-Newton maps are ~GB-scale at
@@ -298,7 +312,7 @@ class NewtonSolver:
             n = V.num_dofs
 
             @jax.jit
-            def mg_pcg(K_cells, b, rtol, atol, maxiter):
+            def mg_pcg(K_cells, mask, b, rtol, atol, maxiter):
                 Kbs = []
                 for K_cell, tdofs in zip(K_cells, tdofs_all):
                     km = jnp.where(mask, 0.0, 1.0)[tdofs]
@@ -341,7 +355,7 @@ class NewtonSolver:
                                     atol=atol)
 
             self._mg = mg_pcg
-        return self._mg(tuple(K for K, _, _ in elems), b,
+        return self._mg(tuple(K for K, _, _ in elems), mask, b,
                         self.ksp_rtol, self.ksp_atol, maxiter)
 
     def solve(self, problem) -> tuple[int, bool]:
@@ -351,13 +365,6 @@ class NewtonSolver:
         matrix_free = self.ksp_type in ("cg", "gmres", "bicgstab")
         vi = self.snes_type == "vinewtonrsls" and self._bounds is not None
         if vi:
-            if self.pc_type == "mg":
-                raise NotImplementedError(
-                    "snes_type='vinewtonrsls' with bounds is not supported "
-                    "with pc_type='mg' (the AMG hierarchy is frozen on a "
-                    "fixed elimination mask; the active set changes per "
-                    "iteration) — use preonly/cg/gmres/bicgstab with "
-                    "pc_type='jacobi'")
             dt = u.data.dtype
             lb = jnp.broadcast_to(jnp.asarray(self._bounds[0], dt), (n,))
             ub = jnp.broadcast_to(jnp.asarray(self._bounds[1], dt), (n,))

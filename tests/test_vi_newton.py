@@ -162,9 +162,50 @@ def test_bad_snes_type_raises():
         solvers.NewtonSolver(snes_type="vinewtonssls")
 
 
-def test_mg_with_bounds_raises():
-    prob, u, _ = _membrane_problem(ksp_type="cg", pc_type="mg",
-                                   snes_type="vinewtonrsls")
-    prob.solver.set_variable_bounds(-0.05, np.inf)
-    with pytest.raises(NotImplementedError, match="vinewtonrsls"):
-        prob.solver.solve(prob)
+def _elastic_block_problem(n=10, **opts):
+    """2D linear-elastic block (bs=2, the mg-capable case) pulled down by a
+    body force, clamped on the bottom edge."""
+    mesh = fem.create_unit_square(n, n)
+    V = fem.functionspace(mesh, ("Lagrange", 1, (2,)))
+    u = fem.Function(V)
+    v, du = fem.TestFunction(V), fem.TrialFunction(V)
+    dx = fem.Measure("dx", metadata={"quadrature_scheme": "default",
+                                     "quadrature_degree": 2})
+    e = lambda w: fem.symmetric(fem.grad(w))
+    body = fem.as_vector([0.0, -1.0])
+    F = (2.0 * fem.inner(e(u), e(v)) + 0.5 * fem.tr(e(u)) * fem.tr(e(v))
+         - fem.inner(body, v)) * dx
+    J = fem.derivative(F, u, du)
+    bdofs_s = fem.locate_dofs_geometrical(V, lambda X: np.isclose(X[1], 0))
+    bdofs = np.concatenate([bdofs_s * 2, bdofs_s * 2 + 1])
+    bc = fem.DirichletBC(bdofs, np.zeros(len(bdofs)))
+    prob = solvers.NonlinearProblem(
+        F, u, J, bcs=[bc],
+        petsc_options={"snes_atol": 1e-10, "snes_rtol": 1e-10, **opts})
+    return prob, u, bdofs
+
+
+def test_mg_with_bounds():
+    """vinewtonrsls + pc_type='mg' (the per-iteration active set rides the
+    traced elimination mask; the AMG hierarchy stays frozen on the
+    Dirichlet-only mask): identical iterates vs the jacobi-CG VI path on an
+    elastic block pressed onto a displacement floor."""
+    lb, ub = -0.04, np.inf
+    prob_j, u_j, bdofs = _elastic_block_problem(
+        ksp_type="cg", snes_type="vinewtonrsls")
+    prob_j.solver.set_variable_bounds(lb, ub)
+    its_j, conv_j = prob_j.solver.solve(prob_j)
+    assert conv_j
+    # the floor must actually bind somewhere off the clamped edge
+    x = np.asarray(u_j.data)
+    free = np.ones(len(x), bool)
+    free[bdofs] = False
+    assert (x[free] <= lb + 1e-12).any(), "no active set developed"
+
+    prob_m, u_m, _ = _elastic_block_problem(
+        ksp_type="cg", pc_type="mg", snes_type="vinewtonrsls")
+    prob_m.solver.set_variable_bounds(lb, ub)
+    its_m, conv_m = prob_m.solver.solve(prob_m)
+    assert conv_m
+    assert its_m == its_j
+    np.testing.assert_allclose(np.asarray(u_m.data), x, rtol=0, atol=1e-8)
