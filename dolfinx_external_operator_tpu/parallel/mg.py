@@ -765,7 +765,7 @@ def ebe_matvec(K_blocks, dofmap, bc_mask, n, psum=None, *, mode="scalar", bs=2):
 
 
 def mg_setup(statics, K0_cell_f32, dofmap, bc_mask, n0, psum=None, *, power_iters=8,
-             mv0_mode="scalar", bs=2, dia=None):
+             mv0_mode="scalar", bs=2, dia=None, dense_below=2048):
     """Per-Newton value computation: coarse ELL values, Jacobi diagonals,
     Chebyshev bounds, coarsest dense LU.  All f32, all fixed shapes.
 
@@ -842,6 +842,7 @@ def mg_setup(statics, K0_cell_f32, dofmap, bc_mask, n0, psum=None, *, power_iter
         d = vals.ravel()[lvl["diag_slot"]]
         d = jnp.where(jnp.abs(d) > 1e-30, d, 1.0)
         diags.append(d)
+        nk_l = lvl["cols"].shape[0]
         if i == 0 and dia is not None and "dst1" in dia:
             # level-1 DIA: re-scatter the ELL values into band layout once
             # per Newton; the smoothing matvecs (7+ per cycle) then run
@@ -853,6 +854,20 @@ def mg_setup(statics, K0_cell_f32, dofmap, bc_mask, n0, psum=None, *, power_iter
                 vals.ravel(), dia["dst1"],
                 num_segments=len(offs1) * n1).reshape(len(offs1), n1)
             mv = lambda x, v=vals1_dia, o=offs1: _dia_matvec(v, o, None, x)
+        elif nk_l <= dense_below:
+            # small aggregation levels: materialize the DENSE operator from
+            # the ELL values once per Newton and ride the MXU.  An ELL
+            # matvec at n~1-3k costs 0.2-0.9 ms of pure gather latency
+            # (~15 ns/element) and the W-cycle applies it ~14-30x per
+            # preconditioner application (scripts/micro_vcycle.py); the
+            # dense matvec is microseconds and the (nk, nk) scatter-add is
+            # paid once per Newton.  Padded ELL slots hold zero values, so
+            # wherever their columns alias, the .add is a no-op.
+            rows_l = jnp.arange(nk_l, dtype=jnp.int32)[:, None]
+            Kd = jnp.zeros((nk_l, nk_l), vals.dtype).at[
+                jnp.broadcast_to(rows_l, lvl["cols"].shape),
+                lvl["cols"]].add(vals)
+            mv = lambda x, K=Kd: K @ x
         else:
             mv = lambda x, vals=vals, cols=lvl["cols"]: _ell_matvec(vals, cols, x)
         mvs.append(mv)
@@ -1018,10 +1033,16 @@ def ir_pcg(mv64, mv32, M32, b, rtol, maxiter, *, atol=0.0, max_rounds=6,
     return out[6], out[3]
 
 
-def vcycle(statics, rt, r0, cheb_degree=3, *, gamma_coarse=2, t0s=None):
+def vcycle(statics, rt, r0, cheb_degree=3, *, gamma_coarse=(1, 2), t0s=None):
     """One multigrid cycle as a preconditioner application z = M^-1 r0
-    (f32 in / f32 out).  V at the top transition, W-cycle (gamma=2) below
-    level 1: coarse levels are cheap and absorb the unsmoothed transfers.
+    (f32 in / f32 out).
+
+    ``gamma_coarse``: cycle index below each level — an int (uniform), or a
+    tuple indexed by level (last entry repeats).  The default ``(1, 2)``
+    visits level 2 once (V at the top: the level-2 ELL matvec is the single
+    most expensive op in the cycle, scripts/micro_vcycle.py) and W-cycles
+    below it, where the dense small-level matvecs make repeat visits nearly
+    free.
 
     ``t0s``: optional gather-free transfer-0 spec
     ``(stencil, shape0, shape1, bs, free0)`` (see _transfer0_stencil);
@@ -1029,8 +1050,15 @@ def vcycle(statics, rt, r0, cheb_degree=3, *, gamma_coarse=2, t0s=None):
     levels, transfers = statics["levels"], statics["transfers"]
     deg = cheb_degree
     L = len(levels)
+    if isinstance(gamma_coarse, int):
+        gammas = (gamma_coarse,)
+    else:
+        gammas = tuple(gamma_coarse)
 
-    def level_solve(k, r, gamma):
+    def _gamma(k):
+        return gammas[min(k - 1, len(gammas) - 1)]
+
+    def level_solve(k, r):
         """Approximate solve at level k (1-based; levels[k-1])."""
         if k == L:
             return rt["coarse_inv"] @ r
@@ -1041,10 +1069,10 @@ def vcycle(statics, rt, r0, cheb_degree=3, *, gamma_coarse=2, t0s=None):
         x = _chebyshev(mv, dinv, r, None, lmax, deg)
         t_down = transfers[k]
         r_c = _restrict(t_down, r - mv(x), levels[k]["cols"].shape[0])
-        x_c = level_solve(k + 1, r_c, gamma)
-        for _ in range(gamma - 1):
+        x_c = level_solve(k + 1, r_c)
+        for _ in range(_gamma(k) - 1):
             resid_c = r_c - rt["mvs"][k](x_c)
-            x_c = x_c + level_solve(k + 1, resid_c, gamma)
+            x_c = x_c + level_solve(k + 1, resid_c)
         x = x + _prolong(t_down, x_c)
         return _chebyshev(mv, dinv, r, x, lmax, deg)
 
@@ -1055,7 +1083,7 @@ def vcycle(statics, rt, r0, cheb_degree=3, *, gamma_coarse=2, t0s=None):
         r1 = _restrict(transfers[0], resid, levels[0]["cols"].shape[0])
     else:
         r1 = _stencil_restrict(resid, *t0s)
-    x1 = level_solve(1, r1, gamma_coarse) if L > 1 else rt["coarse_inv"] @ r1
+    x1 = level_solve(1, r1) if L > 1 else rt["coarse_inv"] @ r1
     x0 = x0 + (_prolong(transfers[0], x1) if t0s is None
                else _stencil_prolong(x1, *t0s))
     return _chebyshev(mv0, dinv0, r0, x0, lmax0, deg)

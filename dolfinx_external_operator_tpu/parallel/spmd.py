@@ -395,7 +395,7 @@ class FusedPlasticityStep:
                                    **{k: v for k, v in mg_opts.items()
                                       if k != "gamma_coarse"})
         self._mg_cheb_degree = mgs.pop("cheb_degree")
-        self._mg_gamma = mg_opts.get("gamma_coarse", 2)
+        self._mg_gamma = mg_opts.get("gamma_coarse", (1, 2))
         self._mg_dia_offsets = mgs.pop("dia0_offsets", None)  # STATIC tuple
         self._mg_dia1_offsets = mgs.pop("dia1_offsets", None)
         self._mg_t0_stencil = mgs.pop("t0_stencil", None)   # STATIC tuple
@@ -621,27 +621,18 @@ class FusedPlasticityStep:
                                     else "node", bs=self.V.bs)
 
             if dia_mode:
-                # f64 refinement operator in DIA form: band values are
-                # exact f64 segment-sums of the same masked element blocks
-                # the EBE operator would consume (only the summation order
-                # differs, ~1e-15 relative), but the matvec is shifted
-                # slices + FMAs — f64 EBE costs 45 ms at 100x100 vs a few
-                # ms banded.  One extra f64 segment_sum per Newton buys
-                # back every refinement round's matvec.
-                offsets = self._mg_dia_offsets
-                nbands = len(offsets)
-                dst = st["mg"]["dia0_dst"]
-                vals64 = psum(jax.ops.segment_sum(
-                    K_cell.reshape(K_cell.shape[0], -1).ravel(),
-                    dst.ravel(), num_segments=nbands * n_dofs + 1
-                )[:-1]).reshape(nbands, n_dofs)
-                free_lat64 = ~st["mg"]["mask0_lat"]
-                l2o64 = st["mg"]["perm0_l2o"]
-                o2l64 = st["mg"]["perm0_o2l"]
-
-                def mv(x):
-                    yl = _mg._dia_matvec(vals64, offsets, free_lat64, x[l2o64])
-                    return yl[o2l64]
+                # f64 refinement operator: element-blocked (node-row
+                # layout), NOT banded.  Round-3 assembled f64 DIA band
+                # values per Newton on the theory that one segment_sum
+                # buys back every refinement round's 45 ms EBE matvec —
+                # but the f64 scatter-add is EMULATED and measured at
+                # 348 ms/Newton at 100x100 (1.73 s at 200x200,
+                # scripts/micro_vals64.py: sorting only shaves 25%, a
+                # gather-matrix is worse), vs ~3-4 refinement rounds x
+                # 45 ms = 135 ms through the EBE operator.  The banded
+                # f64 matvec (0.2 ms) never amortized its own assembly.
+                mv = _mg.ebe_matvec(K_cell, dof, mask, n_dofs, psum,
+                                    mode="node", bs=self.V.bs)
                 # the f32 iteration runs in the private LATTICE numbering
                 # (gather-free stencil matvec); permute only at the
                 # refinement-round boundary — ~4 gathers per solve

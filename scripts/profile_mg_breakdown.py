@@ -142,25 +142,11 @@ def main():
     rec["mg_setup_s"] = _time(setup_arrays, K_in)
     rt = setup(K_cell)  # eager, for the closure-based timings below
 
-    # ---- f64 band values (refinement operator) ------------------------------
+    # ---- f64 refinement operator (element-blocked, node-row layout) ---------
     if dia_mode:
-        offsets = fp._mg_dia_offsets
-        nb = len(offsets)
-        dst = st["mg"]["dia0_dst"]
-
-        def vals64(K):
-            return jax.ops.segment_sum(
-                K.reshape(K.shape[0], -1).ravel(), dst.ravel(),
-                num_segments=nb * n + 1)[:-1].reshape(nb, n)
-
-        rec["vals64_s"] = _time(vals64, K_in)
-        v64 = jax.jit(vals64)(K_cell)
-        free_lat = ~st["mg"]["mask0_lat"]
-
+        mv64 = mgmod.ebe_matvec(K_cell, dof, mask, n, mode="node", bs=V.bs)
         xs64 = [jnp.asarray(rng.normal(size=n)) for _ in range(5)]
-        rec["mv64_dia_s"] = _time(
-            lambda x: mgmod._dia_matvec(v64, offsets, free_lat, x),
-            xs64, chain=50)
+        rec["mv64_ebe_s"] = _time(mv64, xs64, chain=10)
 
         xs32 = [jnp.asarray(rng.normal(size=n).astype(np.float32))
                 for _ in range(5)]
@@ -197,7 +183,7 @@ def main():
     # composed model: per-Newton fixed work + per-CG-iteration work
     if dia_mode:
         per_newton = (rec["kernel_s"] + rec["kcell_s"] + rec["mg_setup_s"]
-                      + rec["vals64_s"] + 3 * rec["mv64_dia_s"])
+                      + 4 * rec["mv64_ebe_s"])
         per_cg = rec["mv32_dia_s"] + rec["vcycle_s"]
         rec["model_step_s"] = round(
             rec["step_newton"] * per_newton + rec["step_cg"] * per_cg, 4)
