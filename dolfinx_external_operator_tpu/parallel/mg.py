@@ -234,6 +234,56 @@ def _padded_rows(P):
     return idx, w
 
 
+def _block_gather_form(P, bs_r, bs_c):
+    """Row-block gather form of a CSR matrix: for each bs_r-row block, the
+    padded list of bs_c-column blocks it touches (idx, (nrb, K)) and the
+    dense per-pair weight blocks (w, (nrb, bs_r, K, bs_c)).
+
+    ``y = P @ x`` then becomes a gather of K column blocks per row block
+    plus a tiny einsum — no scatter, and bs_r*bs_c weight entries ride on
+    one gathered block.  TPU gathers cost ~10-15 ns per gathered ELEMENT
+    regardless of table size, so blocking cuts the transfer cost by
+    ~bs_r*bs_c/(block sparsity overhead); applying the same form to P^T
+    turns the restriction's segment_sum (scatter-add, the slowest XLA:TPU
+    primitive here) into a gather as well."""
+    n_r, n_col = P.shape
+    nrb, ncb = n_r // bs_r, n_col // bs_c
+    C = P.tocoo()
+    rb = C.row.astype(np.int64) // bs_r
+    cb = C.col.astype(np.int64) // bs_c
+    key = rb * np.int64(ncb) + cb
+    pairs = np.unique(key)
+    prb = pairs // ncb
+    counts = np.bincount(prb, minlength=nrb)
+    kmax = max(int(counts.max()) if nrb else 0, 1)
+    starts = np.concatenate([[0], np.cumsum(counts)[:-1]])
+    slot = np.arange(pairs.size) - np.repeat(starts, counts)
+    idx = np.zeros((nrb, kmax), dtype=np.int64)
+    idx[prb, slot] = pairs % ncb
+    w = np.zeros((nrb, bs_r, kmax, bs_c), dtype=np.float32)
+    pos = np.searchsorted(pairs, key)
+    w[rb, C.row % bs_r, slot[pos], C.col % bs_c] = C.data
+    return idx, w
+
+
+def _block_transfer_forms(P, bs_f, bs_c, max_pad=512):
+    """Both directions of a prolongator in block gather form (see
+    _block_gather_form): Pb_* applies P (prolong, fine rows), Rb_* applies
+    P^T (restrict, coarse rows).  Returns None when a row block would need
+    more than ``max_pad`` padded column blocks (pathological aggregation —
+    fall back to the scalar forms)."""
+    P = P.tocsr()
+    n_f, n_c = P.shape
+    if n_f % bs_f or n_c % bs_c:
+        return None
+    Pb_idx, Pb_w = _block_gather_form(P, bs_f, bs_c)
+    Rb_idx, Rb_w = _block_gather_form(P.T.tocsr(), bs_c, bs_f)
+    if Pb_idx.shape[1] > max_pad or Rb_idx.shape[1] > max_pad:
+        return None
+    return {"Pb_idx": Pb_idx.astype(_I), "Pb_w": Pb_w,
+            "Rb_idx": Rb_idx.astype(_I), "Rb_w": Rb_w}
+
+
 def _galerkin_contrib_map(ell_f, P, ell_c):
     """Flat contribution map for  A_c[I,J] += P[i,I] * A_f[i,j] * P[j,J]
     over FIXED patterns: (src_flat, weight, dst_flat) into the fine/coarse
@@ -437,7 +487,7 @@ def _ell_vals_from_csr(K, ell):
 def build_mg_statics(mesh, V, bc_mask, K0_cell_elastic, *,
                      coarse_target=150, max_levels=8, smooth_sa=True,
                      cheb_degree=3, galerkin_levels=None, dia=False,
-                     verbose=False):
+                     agg_reach=(1, 1), verbose=False):
     """Build the fixed multigrid hierarchy (host, once per problem).
 
     Parameters
@@ -464,6 +514,10 @@ def build_mg_statics(mesh, V, bc_mask, K0_cell_elastic, *,
         (~97% of the hierarchy) and ~95M summed entries per Newton, which
         is what made the full-Galerkin variant untransportable through the
         single-chip tunnel.
+    agg_reach : per-algebraic-level aggregation radius (last entry repeats
+        for deeper levels).  1 = standard root-node aggregation; 2 =
+        distance-2 (aggregate over G + G^2) for ~3-4x bigger aggregates —
+        see the comment at the aggregation loop for when it pays.
 
     Returns a dict of HOST (numpy) arrays consumed by ``mg_setup``/
     ``vcycle`` after the caller device-puts them (see FusedPlasticityStep).
@@ -631,7 +685,21 @@ def build_mg_statics(mesh, V, bc_mask, K0_cell_elastic, *,
 
     K_l, B_l, bs_l, ell_l = K1, B, bs, ell1
     while levels[-1]["n"] > coarse_target and len(levels) < max_levels:
-        agg, n_agg = _aggregate(_block_graph(K_l, bs_l))
+        G = _block_graph(K_l, bs_l)
+        reach = agg_reach[min(len(levels) - 1, len(agg_reach) - 1)]
+        if reach == 2:
+            # distance-2 aggregation: ~3-4x bigger aggregates shrink the
+            # next level under the dense-matvec threshold (mg_setup
+            # dense_below) so its matvec runs on the MXU instead of
+            # gather-latency-bound ELL.  Opt-in (mg_opts={'agg_reach':
+            # (2, 1)}), NOT the default: measured on the slope problem it
+            # buys nothing once dense_below=6144 already captures the
+            # first algebraic level, and costs CG iterations
+            # (100x100, 3 steps: 2.62 s/step @ 128 CG vs distance-1's
+            # 2.47 s/step @ 111).  Worth retrying only when level 1
+            # lands above dense_below (e.g. >= 200x200 lattices).
+            G = ((G + G @ G) > 0).tocsr()
+        agg, n_agg = _aggregate(G)
         T, Bc = _tentative_rbm(agg, n_agg, B_l, bs_l)
         if smooth_sa:
             d = K_l.diagonal()
@@ -646,6 +714,9 @@ def build_mg_statics(mesh, V, bc_mask, K0_cell_elastic, *,
         ell_c = _EllLayout(_pattern(K_l, P))
         P_idx, P_w = _padded_rows(P)
         t = {"P_idx": P_idx.astype(_I), "P_w": P_w.astype(np.float32)}
+        blk = _block_transfer_forms(P, bs_l, 3)
+        if blk is not None:
+            t.update(blk)
         lvl = {"cols": ell_c.cols.astype(_I), "m": ell_c.m, "n": n_c,
                "diag_slot": ell_c.diag_slot.astype(_I)}
         if galerkin_levels is None or len(levels) < galerkin_levels:
@@ -765,7 +836,7 @@ def ebe_matvec(K_blocks, dofmap, bc_mask, n, psum=None, *, mode="scalar", bs=2):
 
 
 def mg_setup(statics, K0_cell_f32, dofmap, bc_mask, n0, psum=None, *, power_iters=8,
-             mv0_mode="scalar", bs=2, dia=None, dense_below=2048):
+             mv0_mode="scalar", bs=2, dia=None, dense_below=6144):
     """Per-Newton value computation: coarse ELL values, Jacobi diagonals,
     Chebyshev bounds, coarsest dense LU.  All f32, all fixed shapes.
 
@@ -921,11 +992,21 @@ def _chebyshev(matvec, dinv, b, x0, lmax, degree, lmin_frac=0.3):
 
 
 def _restrict(t, r_f, n_c):
+    if "Rb_idx" in t:
+        # block gather form of P^T: gather fine node blocks per coarse
+        # block and contract — no segment_sum (scatter-add) on the device
+        bs_f = t["Rb_w"].shape[3]
+        g = r_f.reshape(-1, bs_f)[t["Rb_idx"]]          # (n_cb, M, bs_f)
+        return jnp.einsum("cbmf,cmf->cb", t["Rb_w"], g).reshape(-1)
     contrib = (t["P_w"] * r_f[:, None]).ravel()
     return jax.ops.segment_sum(contrib, t["P_idx"].ravel(), num_segments=n_c)
 
 
 def _prolong(t, x_c):
+    if "Pb_idx" in t:
+        bs_c = t["Pb_w"].shape[3]
+        g = x_c.reshape(-1, bs_c)[t["Pb_idx"]]          # (n_fb, K, bs_c)
+        return jnp.einsum("fbkc,fkc->fb", t["Pb_w"], g).reshape(-1)
     return jnp.einsum("np,np->n", t["P_w"], x_c[t["P_idx"]])
 
 

@@ -98,6 +98,20 @@ def main():
             for _ in range(3)]
     rec["level0_mv_ms"] = round(_time(rt["mv0"], ins0, chain=50) * 1e3, 3)
 
+    # transfer costs per inter-level pair: restrict∘prolong round trip is
+    # shape-preserving on the fine side, so it chains inside one dispatch
+    for k in range(1, len(levels)):
+        t = st["mg"]["transfers"][k]
+        n_f = int(levels[k - 1]["cols"].shape[0])
+        n_c = int(levels[k]["cols"].shape[0])
+        rec[f"transfer{k}_width"] = int(t["P_idx"].shape[1])
+        ins_f = [jnp.asarray(rng.normal(size=n_f).astype(np.float32))
+                 for _ in range(3)]
+        rec[f"transfer{k}_pair_ms"] = round(_time(
+            lambda r, t=t, n_c=n_c: mgmod._prolong(
+                t, mgmod._restrict(t, r, n_c)),
+            ins_f, chain=20) * 1e3, 3)
+
     # whole preconditioner under config variants
     mask_lat = st["mg"]["mask0_lat"]
     t0s = None

@@ -508,3 +508,33 @@ def test_dia_hierarchy_galerkin_matches_scipy():
     lin = M(2.0 * r1 - 3.0 * r2)
     combo = 2.0 * M(r1) - 3.0 * M(r2)
     assert np.allclose(np.asarray(lin), np.asarray(combo), rtol=1e-4, atol=1e-4)
+
+
+def test_block_transfer_forms_match_scalar():
+    """The block gather transfer forms (Pb_*/Rb_*, the TPU scatter-free
+    restrict/prolong) reproduce the scalar padded-row forms on a real
+    smoothed-aggregation hierarchy."""
+    mesh, V, S, kernel, bc_dofs = _slope_fixture(Nx=16)
+    fp = FusedPlasticityStep(mesh, V, S, kernel, bc_dofs, linear_solver="mg")
+    transfers = fp.statics["mg"]["transfers"]
+    levels = fp.statics["mg"]["levels"]
+    rng = np.random.default_rng(7)
+    checked = 0
+    for k, t in enumerate(transfers[1:], start=1):
+        if "Pb_idx" not in t:
+            continue
+        t_scalar = {"P_idx": t["P_idx"], "P_w": t["P_w"]}
+        n_f = np.asarray(levels[k - 1]["cols"]).shape[0]
+        n_c = np.asarray(levels[k]["cols"]).shape[0]
+        x_c = jnp.asarray(rng.normal(size=n_c).astype(np.float32))
+        r_f = jnp.asarray(rng.normal(size=n_f).astype(np.float32))
+        p_ref = np.asarray(mgmod._prolong(t_scalar, x_c))
+        p_blk = np.asarray(mgmod._prolong(t, x_c))
+        r_ref = np.asarray(mgmod._restrict(t_scalar, r_f, n_c))
+        r_blk = np.asarray(mgmod._restrict(t, r_f, n_c))
+        assert np.allclose(p_blk, p_ref, rtol=1e-5,
+                           atol=1e-5 * max(np.abs(p_ref).max(), 1.0))
+        assert np.allclose(r_blk, r_ref, rtol=1e-5,
+                           atol=1e-5 * max(np.abs(r_ref).max(), 1.0))
+        checked += 1
+    assert checked >= 1, "no algebraic transfer carried block forms"
