@@ -148,7 +148,7 @@ class FusedPlasticityStep:
         self.newton_rtol = newton_rtol
         self.newton_max_it = newton_max_it
         self.cg_rtol = cg_rtol
-        assert linear_solver in ("cg", "dense", "mg", "elastic", "auto")
+        assert linear_solver in ("cg", "dense", "mg", "elastic", "bcr", "auto")
         if linear_solver == "auto":
             # measured crossover on v5e (NOTES.md round 3): below ~10k dofs
             # the dense f32 inverse + f64 refinement beats the AMG-CG's
@@ -279,6 +279,8 @@ class FusedPlasticityStep:
             self._setup_mg(mg_opts or {}, nc, nc_pad)
         elif linear_solver == "elastic":
             self._setup_elastic_inverse(nc)
+        elif linear_solver == "bcr":
+            self._setup_bcr(nc_pad)
 
         if device_mesh is not None:
             shard = NamedSharding(device_mesh, P("cells"))
@@ -294,6 +296,11 @@ class FusedPlasticityStep:
                 t0["W"] = jax.device_put(t0["W"], shard)
                 t0["blk_dst"] = jax.device_put(t0["blk_dst"], shard)
                 self.statics["mg"] = mgs
+            if "bcr" in self.statics:
+                bcs = jax.tree.map(lambda x: jax.device_put(x, repl),
+                                   self.statics["bcr"])
+                bcs["dst"] = jax.device_put(bcs["dst"], shard)
+                self.statics["bcr"] = bcs
 
         self._step = self._build_step()
 
@@ -429,6 +436,27 @@ class FusedPlasticityStep:
             mg_spec["dia0_dst"] = P("cells")
         self._st_spec["mg"] = mg_spec
 
+    def _setup_bcr(self, nc_pad):
+        """Host-side build of the block-cyclic-reduction scatter map (see
+        ``parallel.bcr``): lattice detection + the static (cell, a, b) ->
+        row-band-slot destinations; the per-Newton device work is one
+        segment_sum + the batched-matmul factorization."""
+        from . import bcr as _bcr
+
+        info = _bcr.build_bcr_statics(self.mesh, self.V, self.bc_mask_np)
+        if info is None:
+            raise ValueError(
+                "linear_solver='bcr' requires a lattice-structured mesh "
+                "(structured-rectangle P1/P2; see mg._lattice_node_perm) — "
+                "use linear_solver='mg' on unstructured meshes")
+        self._bcr_plan = (info.pop("m"), info.pop("B"), info.pop("n"),
+                          info.pop("sentinel"))
+        info["dst"] = _pad_to(info["dst"], nc_pad, value=self._bcr_plan[3])
+        self.statics["bcr"] = jax.tree.map(jnp.asarray, info)
+        spec = jax.tree.map(lambda _: P(), self.statics["bcr"])
+        spec["dst"] = P("cells")
+        self._st_spec["bcr"] = spec
+
     # ------------------------------------------------------------------
     def _local_ops(self):
         """Core per-shard computations (identical with/without shard_map)."""
@@ -545,6 +573,7 @@ class FusedPlasticityStep:
         use_dense = self.linear_solver == "dense"
         use_mg = self.linear_solver == "mg"
         use_elastic = self.linear_solver == "elastic"
+        use_bcr = self.linear_solver == "bcr"
 
         def elastic_solve(st, C_tang, b, psum, cg_rtol, maxiter, precond):
             """Lagged-inverse preconditioned mixed-precision solve (see
@@ -668,6 +697,45 @@ class FusedPlasticityStep:
             # (f64 ops are emulated ~5-10x slower on TPU); the f64 operator
             # appears once per refinement round (see mg.ir_pcg)
             return _mg.ir_pcg(mv, rt["mv0"], M32, b, cg_rtol, maxiter)
+
+        def bcr_solve(st, C_tang, b, psum, cg_rtol):
+            """Block-cyclic-reduction direct solve (see ``parallel.bcr``):
+            per-Newton f32 factorization of the lattice block-tridiagonal
+            tangent — batched MXU Cholesky inversions + matmuls, zero
+            Krylov iterations — inside f64 iterative refinement on the
+            exact element-blocked operator.  The TPU-native analog of the
+            reference's per-Newton MUMPS-LU."""
+            from . import bcr as _bcr
+            from . import mg as _mg
+
+            mask = st["bc_mask"]
+            dof = st["dofmap"]
+            keep_ext = jnp.concatenate([~mask, jnp.zeros(1, bool)])
+            km = keep_ext[dof].astype(_F)
+            K_cell = jnp.einsum("cqik,cqij,cqjl,cq->ckl",
+                                st["B"], C_tang, st["B"], st["wdet"])
+            K_cell = K_cell * km[:, :, None] * km[:, None, :]
+            mv64 = _mg.ebe_matvec(K_cell, dof, mask, n_dofs, psum,
+                                  mode="node", bs=self.V.bs)
+
+            m, Bb, n_lat, sentinel = self._bcr_plan
+            bc = st["bcr"]
+            Tflat = psum(jax.ops.segment_sum(
+                K_cell.astype(jnp.float32).reshape(K_cell.shape[0], -1).ravel(),
+                bc["dst"].ravel(), num_segments=sentinel + 1)[:-1])
+            Tflat = Tflat.at[bc["diag_fix"]].add(1.0)
+            T, d = _bcr.equilibrate(Tflat, bc["diag_slot"], m, Bb)
+            fact = _bcr.bcr_factor(T, m, Bb)
+            d64 = d.astype(_F)
+            l2o, o2l = bc["perm_l2o"], bc["perm_o2l"]
+            pad = m * Bb - n_lat
+
+            def solve32(rr):
+                r_lat = jnp.concatenate([rr[l2o], jnp.zeros(pad, _F)])
+                x_lat = _bcr.bcr_apply(fact, (d * r_lat.astype(jnp.float32)))
+                return (d64 * x_lat.astype(_F))[:n_lat][o2l]
+
+            return _bcr.ir_direct(mv64, solve32, b, cg_rtol)
 
         def dense_solve(st, C_tang, b, psum):
             """Assembled dense tangent + Jacobi-equilibrated f32
@@ -798,6 +866,8 @@ class FusedPlasticityStep:
                 def _solve(_):
                     if use_dense:
                         return dense_solve(st, C_tang, -r, psum)
+                    elif use_bcr:
+                        return bcr_solve(st, C_tang, -r, psum, rtol_it)
                     elif use_mg:
                         return mg_solve(st, C_tang, -r, psum, rtol_it,
                                         maxiter=cg_maxiter)
