@@ -242,7 +242,7 @@ def _load_committed_records(record, records_dir):
         record["e2e_cpu_reference_algorithm"] = {"error": str(e)[:200]}
 
     full = {}
-    for leg in ("tpu", "cpu"):
+    for leg in ("tpu", "cpu", "tpu_bcr"):
         p = os.path.join(records_dir, f"scaling_100x100_full_{leg}.json")
         try:
             with open(p) as fh:
@@ -255,8 +255,8 @@ def _load_committed_records(record, records_dir):
     if full:
         entry = {leg: {k: r[k] for k in ("steps", "steps_scheduled",
                                          "per_step_s", "newton_total",
-                                         "cg_per_step", "backend", "driver",
-                                         "collapse")
+                                         "cg_per_step", "backend", "solver",
+                                         "driver", "collapse")
                        if k in r} for leg, r in full.items()}
         if "tpu" in full and "cpu" in full:
             entry["tpu_vs_cpu"] = round(full["cpu"]["per_step_s"] /
@@ -267,6 +267,17 @@ def _load_committed_records(record, records_dir):
                 full["tpu"].get("newton_per_step") ==
                 full["cpu"].get("newton_per_step")
                 and full["tpu"].get("collapse", {}).get("step") ==
+                    full["cpu"].get("collapse", {}).get("step"))
+        if "tpu_bcr" in full and "cpu" in full:
+            # best-TPU-solver leg: block-cyclic-reduction direct solve
+            # (parallel/bcr.py) — exact solves, so the Newton-parity claim
+            # is checked against the SAME CPU trajectory
+            entry["tpu_bcr_vs_cpu"] = round(full["cpu"]["per_step_s"] /
+                                            full["tpu_bcr"]["per_step_s"], 2)
+            entry["newton_parity_bcr"] = (
+                full["tpu_bcr"].get("newton_per_step") ==
+                full["cpu"].get("newton_per_step")
+                and full["tpu_bcr"].get("collapse", {}).get("step") ==
                     full["cpu"].get("collapse", {}).get("step"))
         entry["source"] = "committed records (scripts/bench_scaling_full.py)"
         record["scaling_100x100_full"] = entry
@@ -382,12 +393,31 @@ def main():
         # one flaky size (tunnel hiccup, compile-helper timeout) must not
         # void the whole bench record
         try:
-            fp = _build_fused(mat, nx, nx, "mg", sorted_chunk=8192)
-            # >=100: a fused multi-Newton execution exceeds the tunnel's
-            # ~60 s per-execution kill — drive one Newton per execution
-            # (Eisenstat-Walker forcing; disclosed in the record)
-            host = nx >= 100 and not tpu_note
+            # block-cyclic-reduction direct solve (parallel/bcr.py) on
+            # lattice meshes up to its ~130k-dof memory bound; AMG-CG
+            # above.  BCR steps are fast enough to stay fused (one
+            # execution per load step) even at 100x100.
+            solver = "bcr" if nx <= 100 else "mg"
+            fp = _build_fused(mat, nx, nx, solver, sorted_chunk=8192)
+            if solver == "mg" and not tpu_note:
+                # DIA level-0 matvec roofline on the LIVE operator:
+                # separates the r3 "~1 ms dispatch floor" from the device
+                # limit by chaining matvecs inside one dispatch (verdict
+                # r3 #4).  Runs on the largest (mg) size now that the
+                # smaller sizes solve via BCR.
+                try:
+                    record["mfu"][f"dia_matvec_{nx}x{nx}"] = \
+                        _roofline.dia_roofline_from_fp(fp)
+                except Exception as e:  # noqa: BLE001
+                    record["mfu"][f"dia_matvec_{nx}x{nx}"] = {
+                        "error": f"{type(e).__name__}: {e}"[:200]}
+                emit()
+            # mg at >=100: a fused multi-Newton execution exceeds the
+            # tunnel's ~60 s per-execution kill — drive one Newton per
+            # execution (Eisenstat-Walker forcing; disclosed in the record)
+            host = solver == "mg" and nx >= 100 and not tpu_note
             r = _run_schedule(fp, short, f"tpu-{nx}x{nx}", host_driver=host)
+            r["solver"] = solver
             if host:
                 r["driver"] = "host (1 Newton/execution, EW forcing)"
         except Exception as e:  # noqa: BLE001
@@ -397,17 +427,6 @@ def main():
         emit()
         if "error" in r:
             continue
-        if nx == 100 and not tpu_note:
-            # DIA level-0 matvec roofline on the LIVE 100x100 operator:
-            # separates the r3 "~1 ms dispatch floor" from the device
-            # limit by chaining matvecs inside one dispatch (verdict r3 #4)
-            try:
-                record["mfu"]["dia_matvec_100x100"] = \
-                    _roofline.dia_roofline_from_fp(fp)
-            except Exception as e:  # noqa: BLE001
-                record["mfu"]["dia_matvec_100x100"] = {
-                    "error": f"{type(e).__name__}: {e}"[:200]}
-            emit()
         try:  # a throughput-rep hiccup must not void the schedule numbers
             r["kernel_pts_per_s"] = round(
                 _kernel_throughput(mat, accel, fp.nc * fp.nq, reps=5, sorted_chunk=8192), 1)

@@ -149,12 +149,22 @@ class FusedPlasticityStep:
         self.newton_max_it = newton_max_it
         self.cg_rtol = cg_rtol
         assert linear_solver in ("cg", "dense", "mg", "elastic", "bcr", "auto")
-        if linear_solver == "auto":
-            # measured crossover on v5e (NOTES.md round 3): below ~10k dofs
-            # the dense f32 inverse + f64 refinement beats the AMG-CG's
-            # per-iteration op-latency floor; above it, dense memory/inv
-            # costs blow up while AMG stays near mesh-independent
-            linear_solver = "dense" if V.num_dofs <= 10_000 else "mg"
+        auto = linear_solver == "auto"
+        if auto:
+            # measured crossovers on v5e (NOTES.md rounds 3-4): below ~10k
+            # dofs the dense f32 inverse + f64 refinement beats everything
+            # (per-iteration op-latency floors); up to the BCR memory bound
+            # (~130k dofs) the block-cyclic-reduction direct solve wins on
+            # single-device lattice meshes (exact solves, zero Krylov its,
+            # 1.8x over AMG-CG at 50^2-100^2); above it, off-lattice (the
+            # setup below falls back), or sharded (the factorization is
+            # replicated work), AMG-CG stays near mesh-independent
+            if V.num_dofs <= 10_000:
+                linear_solver = "dense"
+            elif V.num_dofs <= 130_000 and device_mesh is None:
+                linear_solver = "bcr"
+            else:
+                linear_solver = "mg"
         self.linear_solver = linear_solver
         # dense-path factorization flavor: "chol" = Cholesky + blocked
         # triangular inversion (explicit inverse; applications are single
@@ -275,12 +285,18 @@ class FusedPlasticityStep:
         if device_mesh is None and self.linear_solver in ("dense", "elastic"):
             self._setup_dense_asm(dofmap_p)
 
+        if linear_solver == "bcr":
+            try:
+                self._setup_bcr(nc_pad)
+            except ValueError:
+                if not auto:
+                    raise
+                # auto-selected BCR on a mesh that turned out non-lattice
+                self.linear_solver = linear_solver = "mg"
         if linear_solver == "mg":
             self._setup_mg(mg_opts or {}, nc, nc_pad)
         elif linear_solver == "elastic":
             self._setup_elastic_inverse(nc)
-        elif linear_solver == "bcr":
-            self._setup_bcr(nc_pad)
 
         if device_mesh is not None:
             shard = NamedSharding(device_mesh, P("cells"))

@@ -13,6 +13,7 @@ backends (the identical-iteration-counts clause of BASELINE.json).
 
 Usage:
   python scripts/bench_scaling_full.py [NX] [N_STEPS] [--cpu] [--out PATH]
+                                       [--solver mg|bcr|dense]
 
 Prints one JSON line (per-step times, per-step Newton counts, totals);
 ``--out`` additionally writes it to PATH for committing under
@@ -44,6 +45,9 @@ def main():
     out_path = None
     if "--out" in sys.argv:
         out_path = sys.argv[sys.argv.index("--out") + 1]
+    solver = "mg"
+    if "--solver" in sys.argv:
+        solver = sys.argv[sys.argv.index("--solver") + 1]
 
     from dolfinx_external_operator_tpu import locate_dofs_geometrical
     from dolfinx_external_operator_tpu.models.mohr_coulomb import (
@@ -65,7 +69,7 @@ def main():
         C, st = mat.tangent_stress_point(deps, sn)
         return C, st[0]
 
-    fp = FusedPlasticityStep(mesh, V, S, kernel, bc, linear_solver="mg",
+    fp = FusedPlasticityStep(mesh, V, S, kernel, bc, linear_solver=solver,
                              batched_kernel=mat.batched_kernel_sorted(8192))
     full_schedule = np.concatenate([np.linspace(2, 22.9, 50),
                                     np.array([22.96, 22.99])])[:n_steps]
@@ -119,6 +123,7 @@ def main():
         "steps": n_conv,
         "steps_scheduled": len(full_schedule),
         "backend": "cpu" if "--cpu" in sys.argv else str(device),
+        "solver": solver,
         "driver": "host (1 Newton/execution), EW forcing OFF, cg_rtol=%g"
                   % fp.cg_rtol,
         "wall_s": round(wall, 2),

@@ -133,6 +133,15 @@ def test_bcr_matches_mg_on_slope_problem():
     assert rounds <= 6 * newts
 
 
+def test_auto_selects_bcr_on_lattice():
+    """auto -> bcr on single-device lattice meshes above the dense
+    crossover and below the BCR memory bound (NOTES.md round 4)."""
+    mesh, V, S, kernel, bc_dofs = _slope_fixture(Nx=36)
+    assert V.num_dofs > 10_000
+    fp = FusedPlasticityStep(mesh, V, S, kernel, bc_dofs, linear_solver="auto")
+    assert fp.linear_solver == "bcr"
+
+
 def test_bcr_requires_lattice_mesh():
     from dolfinx_external_operator_tpu import functionspace, mesh as meshmod
 
