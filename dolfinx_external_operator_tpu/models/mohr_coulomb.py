@@ -401,6 +401,38 @@ class MohrCoulombMaterial:
         surface = self._surface_f
         C = self._C_elas_j
 
+        def process_chunk(t):
+            """One sorted chunk: full kernel, or the exact elastic
+            short-circuit when NO lane in the chunk yields.
+
+            The shortcut is bitwise-faithful, not an approximation: for an
+            elastic lane the return map's Newton system is exactly I_5
+            (``r_and_j``'s elastic branch), so ``solve_small`` returns the
+            rhs unchanged and the full kernel would produce C_tang ==
+            C_elas and sig == sig_tr exactly.  Difficulty sorting makes
+            whole-chunk-elastic the COMMON case on real load steps (a
+            mid-schedule iterate is mostly elastic with a developing
+            plastic band), and the skip saves not just the f32 Newton
+            while_loop but the per-lane f64 trial-yield + polish + tangent
+            evaluations — the emulated-f64 share of the kernel.  Only the
+            telemetry differs (norm_res reports 0 instead of a roundoff-
+            level residual)."""
+            d_c, s_c, f_c = t
+
+            def elastic(_):
+                sig_tr_c = C @ d_c + s_c
+                zc = jnp.zeros(chunk, sig_tr_c.dtype)
+                C_t = jnp.broadcast_to(
+                    C[:, :, None], (STRESS_DIM, STRESS_DIM, chunk))
+                return C_t, (sig_tr_c, jnp.zeros(chunk, jnp.int32), f_c, zc, zc)
+
+            def general(_):
+                C_t, aux = vk(d_c, s_c)
+                return C_t, (aux[0], aux[1].astype(jnp.int32), aux[2],
+                             aux[3].astype(d_c.dtype), aux[4])
+
+            return jax.lax.cond(jnp.max(f_c) <= 0.0, elastic, general, 0)
+
         def sorted_fn(deps_soa, sn_soa):
             n = deps_soa.shape[1]
             n_pad = ((n + chunk - 1) // chunk) * chunk
@@ -412,7 +444,8 @@ class MohrCoulombMaterial:
             inv = jnp.argsort(order)
             ds = d[:, order].reshape(STRESS_DIM, -1, chunk).transpose(1, 0, 2)
             ss = s[:, order].reshape(STRESS_DIM, -1, chunk).transpose(1, 0, 2)
-            C_c, aux_c = jax.lax.map(lambda t: vk(t[0], t[1]), (ds, ss))
+            fs = f_tr[order].reshape(-1, chunk)
+            C_c, aux_c = jax.lax.map(process_chunk, (ds, ss, fs))
 
             def unchunk(a):
                 # (k, ..., chunk) -> (..., n_pad) -> unsort -> (..., n)

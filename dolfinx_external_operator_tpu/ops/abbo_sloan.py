@@ -82,6 +82,39 @@ def make_surface(c, angle, a_coef, theta_T, dtype):
     Ap, Bp, Cp = _abc(1.0)
     Am, Bm, Cm = _abc(-1.0)
 
+    if f64:
+        # f64 (arcsin, sin, cos) are software-emulated double-double series
+        # on TPU — the dominant kernel cost (docs/ROOFLINE.md).  The surface
+        # only ever uses st = sin(arcsin(x)/3) and ct = cos(arcsin(x)/3),
+        # and st is the root of the ALGEBRAIC cubic  3 s - 4 s^3 = x  (the
+        # triple-angle identity), so: seed with native f32 trig (~1e-7),
+        # then two f64 Newton steps (pure mul/add) reach full f64 accuracy
+        # on the inner branch (|x| <= sin 3*theta_T, where st/ct are used;
+        # validated 3.3e-16 in tests/test_abbo_sloan.py).  The seed is
+        # gradient-stopped: tangents flow only through the Newton updates,
+        # whose converged JVP equals the implicit derivative
+        # ds/dx = 1/(3 - 12 s^2) to O(seed_err) — and the f32 arcsin'
+        # singularity at |x32| = 1 never meets a tangent.  The seed clamp
+        # to [-sinT, sinT] (the inner-branch range) keeps 3 - 12 s^2
+        # bounded away from zero for outer-branch lanes whose st/ct are
+        # discarded by the `outer` select below.
+        def _sincos_third(x):
+            x32 = x.astype(jnp.float32)
+            s0 = jnp.sin(jnp.arcsin(x32) * jnp.float32(1.0 / 3.0))
+            s0 = jax.lax.stop_gradient(
+                jnp.clip(s0.astype(dtype), -sinT, sinT))
+
+            def newton(s):
+                return s - (3.0 * s - 4.0 * s * s * s - x) / (3.0 - 12.0 * s * s)
+
+            st = newton(newton(s0))
+            ct = jnp.sqrt(1.0 - st * st)
+            return st, ct
+    else:
+        def _sincos_third(x):
+            theta = jnp.arcsin(x) * (1.0 / 3.0)
+            return jnp.sin(theta), jnp.cos(theta)
+
     def terms(sigma):
         s = DEV @ sigma
         I1 = TR @ sigma
@@ -94,9 +127,9 @@ def make_surface(c, angle, a_coef, theta_T, dtype):
         arg_raw = jnp.where(safe, -c0 * J3 * invJ2_32, 0.0)
         x = jnp.clip(arg_raw, -1.0 + eps_clip, 1.0 - eps_clip)  # == sin(3*theta)
 
-        # trig set: ONE arcsin + ONE sin + ONE cos; everything else algebraic
-        theta = jnp.arcsin(x) / 3.0
-        st, ct = jnp.sin(theta), jnp.cos(theta)
+        # trig set: one f32-seeded algebraic solve (f64) or ONE
+        # arcsin + sin + cos (f32); everything else algebraic
+        st, ct = _sincos_third(x)
         c3t = jnp.sqrt(1.0 - x * x)  # cos(3*theta), >= sqrt(2*eps_clip) > 0
 
         pos = x >= 0.0

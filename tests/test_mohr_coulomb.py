@@ -112,3 +112,29 @@ def test_sorted_chunked_kernel_parity():
     C_scale = float(jnp.abs(C1).max())
     assert float(jnp.abs(C1 - C2).max()) / C_scale < 1e-9
     assert float(jnp.abs(s1 - s2).max()) < 1e-8
+
+
+def test_sorted_kernel_elastic_shortcut_bitwise():
+    """Whole-chunk-elastic short-circuit in the sorted kernel is bitwise:
+    an all-elastic batch returns exactly C_elas and exactly the trial
+    stress (the full kernel's elastic branch produces the same, since its
+    Newton system is exactly the identity)."""
+    import jax.numpy as jnp
+
+    mat = MohrCoulombMaterial()
+    n = 512
+    rng = np.random.default_rng(3)
+    deps = rng.normal(scale=1e-5, size=(n, 4))  # tiny strains: all elastic
+    sn = np.zeros((n, 4))
+    C2, s2, _ = mat.tangent_and_stress_sorted(
+        jnp.asarray(deps).ravel(), jnp.asarray(sn).ravel(), chunk=256)
+    C2 = np.asarray(C2).reshape(n, 4, 4)
+    s2 = np.asarray(s2).reshape(n, 4)
+    sig_tr = deps @ mat.C_elas.T
+    assert np.all(C2 == mat.C_elas[None, :, :])
+    assert np.abs(s2 - sig_tr).max() < 1e-14
+    # and the unsorted kernel agrees exactly on the tangent
+    C1, s1, _ = mat.tangent_and_stress(
+        jnp.asarray(deps).ravel(), jnp.asarray(sn).ravel())
+    assert np.array_equal(np.asarray(C1).reshape(n, 4, 4), C2)
+    assert np.array_equal(np.asarray(s1).reshape(n, 4), s2)
