@@ -233,6 +233,8 @@ class NewtonSolver:
         self._bounds = None
         self.iterations = 0
         self.ksp_iterations = 0
+        self.history = []        # residual norms of the last solve ([norm0, ...])
+        self.backtrack_count = 0  # times divergence backtracking fired (0 = SNES-"basic" trajectory)
         self._mg = None  # lazily-built (statics, jitted solver) pair
 
     def set_variable_bounds(self, lb, ub):
@@ -300,8 +302,18 @@ class NewtonSolver:
             # hierarchy structure frozen on the Dirichlet-only mask (the
             # per-call mask may carry a changing VI active set)
             bc_only, _ = bc_arrays(problem.bcs, V.num_dofs)
+            # gmres targets nonsymmetric Jacobians: build the hierarchy
+            # (aggregation, prolongator smoothing, Chebyshev bounds) and the
+            # smoother VALUES on the SYMMETRIZED operator — a
+            # preconditioner-quality choice only; the Krylov iteration runs
+            # on the true operator, so iterates are exact.  For a symmetric
+            # Jacobian the symmetrization is the identity.
+            gmres = self.ksp_type == "gmres"
+            K_dom0 = np.asarray(elems[dom][0])
+            if gmres:
+                K_dom0 = 0.5 * (K_dom0 + np.swapaxes(K_dom0, 1, 2))
             statics_np = mgmod.build_mg_statics(
-                problem.J.mesh, V, np.asarray(bc_only), np.asarray(elems[dom][0]),
+                problem.J.mesh, V, np.asarray(bc_only), K_dom0,
                 # same large-mesh default as FusedPlasticityStep._setup_mg:
                 # freeze aggregation-level values to their elastic Galerkin
                 # projection (the full per-Newton maps are ~GB-scale at
@@ -317,7 +329,10 @@ class NewtonSolver:
                 for K_cell, tdofs in zip(K_cells, tdofs_all):
                     km = jnp.where(mask, 0.0, 1.0)[tdofs]
                     Kbs.append(K_cell * km[:, :, None] * km[:, None, :])
-                rt = mgmod.mg_setup(statics, Kbs[dom].astype(_F32),
+                K_dom = Kbs[dom]
+                if gmres:  # smoother values track the symmetric part
+                    K_dom = 0.5 * (K_dom + jnp.swapaxes(K_dom, 1, 2))
+                rt = mgmod.mg_setup(statics, K_dom.astype(_F32),
                                     tdofs_all[dom], mask, n)
 
                 # exact operators via the one shared element-blocked matvec
@@ -348,6 +363,24 @@ class NewtonSolver:
                                      cheb_degree=cheb_degree)
                     return jnp.where(mask, r, z)
 
+                if gmres:
+                    # nonsymmetric path: f64 GMRES on the TRUE operator,
+                    # V-cycle (symmetrized values) as the preconditioner.
+                    # No iteration count from jax.scipy's gmres — report 0.
+                    from jax.scipy.sparse import linalg as jsla
+
+                    def M(r):
+                        z = mgmod.vcycle(statics, rt,
+                                         jnp.where(mask, 0.0, r.astype(_F32)),
+                                         cheb_degree=cheb_degree)
+                        return jnp.where(mask, r, z.astype(r.dtype))
+
+                    delta, _ = jsla.gmres(mv, b, M=M, tol=rtol, atol=atol,
+                                          maxiter=maxiter,
+                                          restart=min(n, 50),
+                                          solve_method="batched")
+                    return delta, jnp.asarray(0)
+
                 # mixed-precision IR-PCG (f32 iteration, f64 refinement;
                 # see mg.ir_pcg) with the shared safeguard structure;
                 # atol keeps KSP-convergence parity with the jacobi path
@@ -368,15 +401,16 @@ class NewtonSolver:
             dt = u.data.dtype
             lb = jnp.broadcast_to(jnp.asarray(self._bounds[0], dt), (n,))
             ub = jnp.broadcast_to(jnp.asarray(self._bounds[1], dt), (n,))
-        if self.pc_type == "mg" and self.ksp_type != "cg":
+        if self.pc_type == "mg" and self.ksp_type not in ("cg", "gmres"):
             # must fire for preonly (the default) too — falling through to
             # the dense direct path would silently LU-factorize an (n, n)
             # matrix at exactly the mesh sizes mg exists for
             raise NotImplementedError(
-                "pc_type='mg' is implemented for ksp_type='cg' only "
-                "(the AMG cycle is SPD; gmres/bicgstab use pc_type='jacobi', "
-                "and the default ksp_type='preonly' is the dense direct "
-                "solver)")
+                "pc_type='mg' is implemented for ksp_type='cg' (SPD "
+                "Jacobians) and ksp_type='gmres' (nonsymmetric Jacobians, "
+                "V-cycle built on the symmetrized operator); bicgstab uses "
+                "pc_type='jacobi', and the default ksp_type='preonly' is "
+                "the dense direct solver")
 
         def residual():
             """BC-adjusted residual WITHOUT assembling the Jacobian: the
@@ -402,7 +436,7 @@ class NewtonSolver:
                 # PETSc KSP default maxits parity (10000); the breakdown
                 # guard in _ebe_pcg exits earlier at the rounding floor
                 maxiter = self.ksp_max_it if self.ksp_max_it is not None else min(10 * n, 10000)
-                if self.ksp_type == "cg" and self.pc_type == "mg":
+                if self.ksp_type in ("cg", "gmres") and self.pc_type == "mg":
                     delta, k = self._mg_solve(problem, elems, emask, -r, maxiter)
                     self.ksp_iterations += int(k)
                     return delta
@@ -471,6 +505,13 @@ class NewtonSolver:
         norm0 = rnorm(r)
         norm = norm0
         it = 0
+        # per-solve stats: residual-norm history + backtracking counter.
+        # backtrack_count makes the Newton-parity claims self-auditing: the
+        # divergence-only backtracking below deviates from SNES "basic"
+        # (which takes full steps unconditionally), so any solve where it
+        # FIRED is not trajectory-comparable to the reference.
+        self.history = [norm0]
+        self.backtrack_count = 0
         if self.monitor:
             print(f"  0 SNES Function norm {norm0:.12e}")
         converged = norm0 < self.atol
@@ -491,6 +532,7 @@ class NewtonSolver:
             # residual grows strongly (robustness; the reference would fail)
             alpha = 1.0
             while new_norm > 2.0 * norm and alpha > 2**-8:
+                self.backtrack_count += 1
                 u._data = u._data - alpha * 0.5 * delta  # retract to alpha/2
                 if vi:
                     u._data = jnp.clip(u._data, lb, ub)
@@ -498,6 +540,7 @@ class NewtonSolver:
                 r = residual()
                 new_norm = rnorm(r)
             norm = new_norm
+            self.history.append(norm)
             if self.monitor:
                 print(f"  {it} SNES Function norm {norm:.12e}")
             converged = norm < self.atol or norm < self.rtol * max(norm0, 1e-300)

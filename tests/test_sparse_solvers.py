@@ -208,15 +208,63 @@ def test_mg_multi_batch_jacobian():
     assert dmax < 1e-8, dmax
 
 
-def test_mg_requires_cg():
-    """pc_type='mg' with a non-cg ksp_type raises instead of silently
-    falling back to Jacobi."""
+def test_mg_requires_cg_or_gmres():
+    """pc_type='mg' with an unsupported ksp_type (bicgstab) raises instead
+    of silently falling back to Jacobi; cg (SPD) and gmres (nonsymmetric)
+    are the supported pairings."""
     import pytest
 
-    prob, T, _ = _heat_problem(5, "gmres", atol=1e-9)
+    prob, T, _ = _heat_problem(5, "bicgstab", atol=1e-9)
     prob.solver.pc_type = "mg"
     with pytest.raises(NotImplementedError, match="mg"):
         prob.solve()
+
+
+def _nonsym_problem(ksp, pc, n=12):
+    """Vector nonlinear problem with a CONVECTIVE term dot(grad(u), w):
+    its Jacobian is genuinely nonsymmetric — the case cg+mg cannot touch
+    (VERDICT r4 #7: hyperelasticity-class tangents at scale)."""
+    mesh = fem.create_unit_square(n, n)
+    V = fem.functionspace(mesh, ("Lagrange", 1, (2,)))
+    u = fem.Function(V)
+    v = fem.TestFunction(V)
+    uh = fem.TrialFunction(V)
+    dx2 = fem.Measure("dx", metadata={"quadrature_degree": 2,
+                                      "quadrature_scheme": "default"})
+    e = lambda w: fem.symmetric(fem.grad(w))
+    w_adv = fem.as_vector([1.5, 0.7])
+    coef = 1.0 + fem.inner(u, u)
+    body = fem.as_vector([0.2, -0.3])
+    F = (fem.inner(coef * e(u), e(v)) * dx2
+         + fem.inner(fem.dot(fem.grad(u), w_adv), v) * dx2
+         - fem.inner(body, v) * dx2)
+    J = fem.expand_derivatives(fem.derivative(F, u, uh))
+    bdofs = fem.locate_dofs_geometrical(V, lambda x: np.isclose(x[1], 0.0))
+    bc = fem.dirichletbc(np.zeros(2), bdofs, V)
+    prob = solvers.NonlinearProblem(
+        F, u, J=J, bcs=[bc],
+        petsc_options={"ksp_type": ksp, "pc_type": pc,
+                       "snes_atol": 1e-10, "snes_rtol": 1e-10})
+    return prob, u
+
+
+def test_mg_gmres_nonsymmetric_jacobian():
+    """ksp_type='gmres' + pc_type='mg' on a NONSYMMETRIC Jacobian
+    (convection term): the V-cycle preconditioner is built on the
+    symmetrized operator, GMRES iterates on the true one — identical
+    Newton counts and solution parity vs the dense direct path."""
+    prob_mg, u_mg = _nonsym_problem("gmres", "mg")
+    its_mg, conv = prob_mg.solve()
+    assert conv
+    # the Jacobian really is nonsymmetric (else this test proves nothing)
+    A = np.asarray(prob_mg.J.matrix())
+    asym = np.abs(A - A.T).max()
+    assert asym > 1e-6 * np.abs(A).max(), asym
+    prob_d, u_d = _nonsym_problem("preonly", "jacobi")
+    its_d, _ = prob_d.solve()
+    assert its_mg == its_d
+    dmax = np.abs(np.asarray(u_mg.data) - np.asarray(u_d.data)).max()
+    assert dmax < 1e-8, dmax
 
 
 def test_mg_preonly_raises_not_silent_dense():
