@@ -1,11 +1,13 @@
 #!/usr/bin/env python
 """Headline benchmark: Mohr-Coulomb return-map throughput + load-step time.
 
-Prints the CUMULATIVE JSON record line after EVERY completed section
-(kernel -> committed baselines -> 25x25 e2e TPU -> 25x25 e2e CPU -> MFU ->
-each scaling size), so a timeout at any point still leaves the last-emitted
-record parseable.  The FINAL line is the complete record:
-  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N, ...extras}
+After EVERY completed section (kernel -> committed baselines -> 25x25 e2e
+TPU -> 25x25 e2e CPU -> MFU -> each scaling size) this writes the FULL
+cumulative record to ``docs/records/bench_full.json`` and prints ONE
+COMPACT (<=1.5 KB) summary JSON line, so a timeout at any point still
+leaves the last-emitted line parseable within the driver's tail window
+(rounds 3 and 4 both lost their official metrics to an oversized line):
+  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N, ...summary}
 
 Primary metric: Gauss points/second through the full consistent-tangent
 return map (mixed-precision inner Newton with closed-form Jacobians +
@@ -215,6 +217,97 @@ def _init_devices():
     return accel, cpu, note
 
 
+def _compact(record):
+    """Distill the cumulative record into a <=1.5 KB summary object.
+
+    Every value here also exists (with full context/disclosures) in the
+    full record at docs/records/bench_full.json; this object exists only
+    so the driver's tail-line JSON parse always succeeds."""
+    def leg(e):
+        if not isinstance(e, dict) or "per_step_s" not in e:
+            return None
+        out = {"s_step": e["per_step_s"], "newton": e.get("newton_total")}
+        if e.get("cg_total") is not None:
+            out["cg"] = e["cg_total"]
+        if e.get("kernel_pts_per_s") is not None:
+            out["pts_s"] = e["kernel_pts_per_s"]
+        if e.get("solver"):
+            out["solver"] = e["solver"]
+        return out
+
+    c = {
+        "metric": record["metric"],
+        "value": record["value"],
+        "unit": record["unit"],
+        "vs_baseline": record["vs_baseline"],
+    }
+    for k in ("tpu_unavailable", "watchdog", "error"):
+        if record.get(k):
+            c[k] = str(record[k])[:120]
+    e25 = leg(record.get("e2e_slope_stability_25x25"))
+    if e25:
+        for rk, ck in (("e2e_tpu_vs_reference_algorithm", "vs_ref_alg"),
+                       ("e2e_tpu_vs_cpu", "vs_cpu")):
+            if record.get(rk) is not None:
+                e25[ck] = record[rk]
+        c["e2e_25x25"] = e25
+    proxy = record.get("e2e_cpu_reference_algorithm")
+    if isinstance(proxy, dict) and "per_step_s" in proxy:
+        c["ref_alg_cpu_25x25_s_step"] = proxy["per_step_s"]
+    for rk, ck in (("e2e_cpu_same_pipeline", "cpu_same_pipeline_25x25"),):
+        lg = leg(record.get(rk))
+        if lg:
+            c[ck] = {"s_step": lg["s_step"]}
+    for size in ("100x100", "200x200"):
+        f = record.get(f"scaling_{size}_full")
+        if isinstance(f, dict):
+            cf = {}
+            for lk in ("tpu", "cpu", "tpu_bcr", "ref_alg"):
+                if isinstance(f.get(lk), dict) and "per_step_s" in f[lk]:
+                    cf[lk] = f[lk]["per_step_s"]
+            for pk in ("tpu_vs_cpu", "newton_parity", "tpu_bcr_vs_cpu",
+                       "newton_parity_bcr", "tpu_vs_reference_algorithm",
+                       "steps"):
+                if f.get(pk) is not None:
+                    cf[pk] = f[pk]
+            if cf:
+                c[f"full_{size}"] = cf
+    sc = record.get("scaling")
+    if isinstance(sc, dict):
+        c["scaling"] = {}
+        for size, e in sc.items():
+            lg = leg(e)
+            c["scaling"][size] = lg if lg else {
+                k: str(v)[:60] for k, v in e.items()
+                if k in ("skipped", "error")}
+    mfu = record.get("mfu")
+    if isinstance(mfu, dict):
+        cm = {}
+        rm = mfu.get("return_map")
+        if isinstance(rm, dict) and "pts_per_s" in rm:
+            cm["rm_pts_s"] = rm["pts_per_s"]
+            cm["rm_pct_vpu_lo_hi"] = rm.get("pct_vpu_peak_lo_hi")
+        for k, v in mfu.items():
+            if k.startswith("dia_matvec") and isinstance(v, dict) \
+                    and "pct_hbm_peak_chained" in v:
+                cm[k.replace("matvec_", "")] = {
+                    "gbps": v.get("achieved_gbps_chained"),
+                    "pct_hbm": v["pct_hbm_peak_chained"]}
+        if cm:
+            c["mfu"] = cm
+    c["full_record"] = "docs/records/bench_full.json"
+    c["elapsed_s"] = record.get("bench_elapsed_s")
+    # hard guarantee: the driver's tail/parse window is the contract
+    line = json.dumps(c)
+    if len(line) > 1500:
+        for k in ("scaling", "mfu", "cpu_same_pipeline_25x25",
+                  "full_200x200"):
+            c.pop(k, None)
+            if len(json.dumps(c)) <= 1500:
+                break
+    return c
+
+
 def _load_committed_records(record, records_dir):
     """Attach the committed CPU/parity baseline records (verdict r3 #2/#3).
 
@@ -308,9 +401,24 @@ def main():
         **({"tpu_unavailable": tpu_note} if tpu_note else {}),
     }
 
+    full_record_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)),
+        "docs", "records", "bench_full.json")
+
     def emit():
+        """Write the FULL cumulative record to docs/records/bench_full.json
+        and print a COMPACT (<=1.5 KB) summary line to stdout.
+
+        The driver parses the LAST stdout line within a small tail window;
+        rounds 3 and 4 both lost their official metrics because the
+        cumulative line outgrew it (r4: ~3.3 KB, parsed=null)."""
         record["bench_elapsed_s"] = round(time.perf_counter() - _T0, 1)
-        print(json.dumps(record), flush=True)
+        try:
+            with open(full_record_path, "w") as fh:
+                json.dump(record, fh, indent=1)
+        except OSError as e:  # read-only checkout must not kill the bench
+            _log(f"bench: could not write full record: {e}")
+        print(json.dumps(_compact(record)), flush=True)
 
     def _emit_partial():
         record["watchdog"] = "bench wall-clock limit hit; partial record"
@@ -374,7 +482,9 @@ def main():
         record["mfu"] = {"return_map": _roofline.return_map_mfu(
             tpu_pps, RM_FLOPS_PER_PT_LO, RM_FLOPS_PER_PT_HI)}
     except Exception as e:  # noqa: BLE001
-        record["mfu"] = {"error": f"{type(e).__name__}: {e}"[:200]}
+        # per-leg error sub-key: a return-map failure must not shadow the
+        # DIA-matvec entries the scaling section adds later (ADVICE r4)
+        record["mfu"] = {"return_map": {"error": f"{type(e).__name__}: {e}"[:200]}}
     emit()
 
     # ---- section 6: scaling curve -------------------------------------------

@@ -141,16 +141,18 @@ def _spd_inv_batched(Ks):
     """Explicit inverses of a batch of SPD matrices: batched Cholesky +
     blocked triangular inversion + Gram product — matmul-rich (the
     reasoning of ``spmd._spd_inv_chol``, vmapped).  A Cholesky breakdown
-    anywhere in the batch (non-SPD block) propagates NaN to that factor's
-    last diagonal entry; the whole level then falls back to batched
-    pivoted-LU inversion."""
+    anywhere in the batch (non-SPD block) NaNs that factor; the whole
+    level then falls back to batched pivoted-LU inversion.  The breakdown
+    check covers EVERY factor entry — relying on NaN reaching the last
+    diagonal entry is a LAPACK-lowering detail, not a backend contract
+    (ADVICE r4)."""
     L = jnp.linalg.cholesky(Ks)
 
     def chol_path(_):
         Li = jax.vmap(_blocked_tri_inv)(L)
         return jnp.einsum("kji,kjl->kil", Li, Li, precision=_HI)
 
-    ok = jnp.all(jnp.isfinite(L[:, -1, -1]))
+    ok = jnp.all(jnp.isfinite(L))
     return jax.lax.cond(ok, chol_path, jnp.linalg.inv, Ks)
 
 
@@ -269,8 +271,11 @@ def ir_direct(mv64, solve32, b, rtol, *, atol=0.0, max_rounds=25):
     ~kappa(A) * eps_f32, so tight targets (1e-13 |b|) take a handful of
     rounds even at 100x100-class conditioning.  Exits on target, a
     non-contracting round (stall), or ``max_rounds``; returns
-    (best iterate, rounds) — the count slots into the Newton loop's
-    ``cg_k`` telemetry."""
+    (best iterate, signed rounds) — the count slots into the Newton
+    loop's ``cg_k`` telemetry, and is NEGATED when the solve exited
+    without reaching the target (stall / round budget), so a stalled f32
+    direct solve is distinguishable from success in telemetry instead of
+    only through the outer Newton residual check (ADVICE r4)."""
     bnorm = jnp.sqrt(jnp.vdot(b, b))
     target = jnp.maximum(rtol * bnorm, atol)
     x0 = jnp.zeros_like(b)
@@ -292,4 +297,5 @@ def ir_direct(mv64, solve32, b, rtol, *, atol=0.0, max_rounds=25):
 
     s = (x0, b, bnorm, 0, jnp.asarray(True), x0, bnorm)
     out = jax.lax.while_loop(cond, body, s)
-    return out[5], out[3]
+    converged = out[6] <= target
+    return out[5], jnp.where(converged, out[3], -out[3])

@@ -176,6 +176,8 @@ def main():
     Du = np.ones(n)
     sigma_n = np.zeros((nc * nq, 4))
     newton_per_step = []
+    converged_per_step = []
+    collapse = None
     kernel_s = 0.0
     factor_s = 0.0
 
@@ -183,12 +185,15 @@ def main():
     _ = jax.block_until_ready(kernel(jnp.zeros((nc * nq, 4)),
                                      jnp.asarray(sigma_n)))
 
+    step_wall = []
     t0 = time.perf_counter()
     for load in full_schedule:
+        t_step = time.perf_counter()
         b_ext = load * f_vec
         its = 0
         norm0 = None
         sigma_flat = None
+        step_converged = False
         for _ in range(100):
             deps = np.einsum("cqik,ck->cqi", B,
                              np.concatenate([Du, [0.0]])[dof]).reshape(-1, 4)
@@ -207,6 +212,7 @@ def main():
             if norm0 is None:
                 norm0 = norm
             if norm < atol or norm < rtol * norm0:
+                step_converged = True
                 break
             K_cell = np.einsum("cqik,cqij,cqjl,cq->ckl", B, C_tang, B, wdet)
             tk = time.perf_counter()
@@ -220,24 +226,46 @@ def main():
             Du = Du + dx
             its += 1
         newton_per_step.append(its)
+        converged_per_step.append(step_converged)
+        step_wall.append(time.perf_counter() - t_step)
         sigma_n = np.asarray(sigma_flat)
         print(f"  proxy step {len(newton_per_step) - 1}: load={load:.2f} "
-              f"newton={its} t={time.perf_counter() - t0:.1f}s",
+              f"newton={its} converged={step_converged} "
+              f"|r|={norm:.3e} t={time.perf_counter() - t0:.1f}s",
               file=sys.stderr, flush=True)
+        if not step_converged:
+            # stop exactly as scripts/bench_scaling_full.py does: a
+            # non-converged step near the limit load is the collapse
+            # signature; committing its state would poison later steps
+            collapse = {"step": len(newton_per_step) - 1, "load": float(load),
+                        "detail": f"proxy Newton failed to converge within "
+                                  f"100 updates; last |r| = {norm:.3e}, "
+                                  f"target {max(atol, rtol * norm0):.3e}"}
+            break
     wall = time.perf_counter() - t0
 
+    # per-step wall over CONVERGED steps only: a collapse step burns its
+    # full 100-update budget and would inflate the 50x-ratio denominator
+    conv = np.asarray(converged_per_step, dtype=bool)
+    n_conv = int(conv.sum())
+    conv_wall = float(np.asarray(step_wall)[conv].sum())
     rec = {
         "metric": "reference_algorithm_cpu_proxy",
         "mesh": f"{nx}x{nx}", "n_dofs": n, "gauss_points": nc * nq,
-        "steps": len(full_schedule),
-        "wall_s": round(wall, 2),
-        "per_step_s": round(wall / len(full_schedule), 4),
+        "steps": n_conv,
+        "steps_scheduled": len(full_schedule),
+        "wall_s": round(conv_wall, 2),
+        "wall_s_incl_collapse": round(wall, 2),
+        "per_step_s": round(conv_wall / max(n_conv, 1), 4),
         "newton_total": int(np.sum(newton_per_step)),
+        "newton_per_step": [int(x) for x in newton_per_step],
         "kernel_share_s": round(kernel_s, 2),
         "factor_solve_share_s": round(factor_s, 2),
         "algorithm": ("f64 jacfwd return-mapping kernel + per-Newton sparse "
                       "SuperLU (MUMPS stand-in), reference demo :469-672"),
     }
+    if collapse is not None:
+        rec["collapse"] = collapse
     print(json.dumps(rec))
 
 

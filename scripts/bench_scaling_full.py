@@ -86,6 +86,7 @@ def main():
     cg_per_step = []
     step_s = []
     collapse = None
+    norm = float("nan")  # stays NaN if step 0 collapses (ADVICE r4)
     t0 = time.perf_counter()
     for i, load in enumerate(full_schedule):
         ts = time.perf_counter()

@@ -155,3 +155,29 @@ def test_bcr_requires_lattice_mesh():
     with pytest.raises(ValueError, match="lattice"):
         FusedPlasticityStep(msh, V, S, kernel, np.array([0, 1]),
                             linear_solver="bcr")
+
+
+def test_ir_direct_signed_rounds_telemetry():
+    """``ir_direct`` negates the round count when the refinement exits
+    without reaching the target (stall / round budget), so a stalled f32
+    direct solve is distinguishable from success in telemetry (ADVICE r4)."""
+    T, A = _random_block_tridiag(4, 6)
+    m, B = 4, 6
+    rng = np.random.default_rng(2)
+    b = jnp.asarray(rng.normal(size=m * B))
+    A_j = jnp.asarray(A)
+    fact = bcrmod.bcr_factor(jnp.asarray(T), m, B)
+
+    def mv64(x):
+        return A_j @ x
+
+    # healthy: exact f64 factorization converges in one round, count > 0
+    x, k = bcrmod.ir_direct(mv64, lambda r: bcrmod.bcr_apply(fact, r),
+                            b, rtol=1e-12)
+    assert int(k) > 0
+    assert float(jnp.linalg.norm(b - A_j @ x)) < 1e-11 * float(jnp.linalg.norm(b))
+
+    # stalled: a garbage inner solve makes no progress -> negative count
+    x_bad, k_bad = bcrmod.ir_direct(mv64, lambda r: 1e-3 * r, b, rtol=1e-12,
+                                    max_rounds=5)
+    assert int(k_bad) < 0
