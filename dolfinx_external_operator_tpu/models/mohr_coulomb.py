@@ -440,6 +440,13 @@ class MohrCoulombMaterial:
             s = jnp.pad(sn_soa, ((0, 0), (0, n_pad - n)))
             sig_tr = C @ d + s
             f_tr = jax.vmap(lambda x: surface(x)[0], in_axes=-1)(sig_tr)
+            if n_pad == chunk:
+                # single chunk: sorting cannot split work, and lanes are
+                # independent, so the sort/unsort gathers are pure latency
+                # (~ms-class at small n — the 25x25 floor hunt, round 5).
+                # Bitwise-identical outputs by lane independence.
+                C_1, aux_1 = process_chunk((d, s, f_tr))
+                return (C_1[..., :n], tuple(a[..., :n] for a in aux_1))
             order = jnp.argsort(f_tr)
             inv = jnp.argsort(order)
             ds = d[:, order].reshape(STRESS_DIM, -1, chunk).transpose(1, 0, 2)

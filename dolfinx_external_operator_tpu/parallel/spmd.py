@@ -497,11 +497,17 @@ class FusedPlasticityStep:
             sigma = sig_t.T.reshape(nc_loc, nq, 4)
             return C_tang, sigma
 
-        def residual(st, sigma, load, psum):
+        def assemble_f(st, psum):
+            # unit body-force vector: load-independent, so the Newton loop
+            # hoists this single scatter out of the body (it used to run
+            # once per body pass — measurable at small n where the step is
+            # op-latency-bound, round-5 dispatch-floor hunt)
+            return scatter(st["dofmap"], st["f_cell"], psum)
+
+        def residual(st, sigma, load, psum, fvec):
             r_cell = jnp.einsum("cqik,cqi,cq->ck", st["B"], sigma, st["wdet"])
             r = scatter(st["dofmap"], r_cell, psum)
-            f = scatter(st["dofmap"], st["f_cell"], psum) * load
-            return r - f
+            return r - fvec * load
 
         def tangent_matvec(st, C_tang, x, psum):
             x_cell = gather(st["dofmap"], x)
@@ -515,10 +521,11 @@ class FusedPlasticityStep:
             d_cell = jnp.einsum("cqik,cqij,cqjk,cq->ck", st["B"], C_tang, st["B"], st["wdet"])
             return scatter(st["dofmap"], d_cell, psum)
 
-        return constitutive, residual, tangent_matvec, tangent_diag
+        return constitutive, residual, tangent_matvec, tangent_diag, assemble_f
 
     def _build_step(self):
-        constitutive, residual, tangent_matvec, tangent_diag = self._local_ops()
+        (constitutive, residual, tangent_matvec, tangent_diag,
+         assemble_f) = self._local_ops()
         atol, rtol = self.newton_atol, self.newton_rtol
         cg_maxiter = self.cg_maxiter
         dm = self.device_mesh
@@ -856,12 +863,14 @@ class FusedPlasticityStep:
                 Du, sigma, C32, norm, norm0, it, cg_tot, done = state
                 return jnp.logical_and(jnp.logical_not(done), it < max_it)
 
+            fvec = assemble_f(st, psum)
+
             def body(state):
                 Du, sigma, C32, norm, norm0, it, cg_tot, done = state
                 C_tang, sigma = constitutive(st, Du, sigma_n, psum)
                 if use_elastic:
                     C32 = C_tang.astype(jnp.float32)
-                r = residual(st, sigma, load, psum)
+                r = residual(st, sigma, load, psum, fvec)
                 r = apply_bc_res(st, r, Du)
                 norm = jnp.sqrt(jnp.vdot(r, r))
                 norm0 = jnp.where(jnp.isnan(norm0), norm, norm0)

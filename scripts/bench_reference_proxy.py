@@ -31,7 +31,18 @@ implement the same mathematics), making the per-step wall-clock ratio an
 apples-to-apples "vs the reference algorithm on this CPU" number.
 
 Usage: python scripts/bench_reference_proxy.py [NX] [N_STEPS]
+                [--out PATH] [--budget SECONDS]
 Prints one JSON line with per-step timings and Newton counts.
+
+``--out`` writes the record INCREMENTALLY after every converged step (a
+multi-hour 100x100 run that hits the budget or is killed still leaves a
+committed-quality prefix record).  ``--budget`` stops cleanly after the
+first step that ends past the wall-clock budget, recording the converged
+prefix with a ``budget_exhausted`` disclosure.  Round-5 field note: at
+100x100 the reference algorithm's own inner Newton (plain undamped steps,
+Nitermax 200, exactly as the demo :469) entered a >1h grind at step 21 —
+per-update telemetry (max/mean inner iterations, kernel/factor seconds)
+is printed so that behavior is documented rather than silent.
 """
 import json
 import os
@@ -124,8 +135,15 @@ def make_reference_kernel(mat):
 
 
 def main():
-    nx = int(sys.argv[1]) if len(sys.argv) > 1 else 25
-    n_steps = int(sys.argv[2]) if len(sys.argv) > 2 else 52
+    args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    nx = int(args[0]) if len(args) > 0 else 25
+    n_steps = int(args[1]) if len(args) > 1 else 52
+    out_path = None
+    if "--out" in sys.argv:
+        out_path = sys.argv[sys.argv.index("--out") + 1]
+    budget_s = None
+    if "--budget" in sys.argv:
+        budget_s = float(sys.argv[sys.argv.index("--budget") + 1])
 
     from dolfinx_external_operator_tpu import locate_dofs_geometrical
     from dolfinx_external_operator_tpu.models.mohr_coulomb import (
@@ -186,6 +204,7 @@ def main():
                                      jnp.asarray(sigma_n)))
 
     step_wall = []
+    budget_hit = False
     t0 = time.perf_counter()
     for load in full_schedule:
         t_step = time.perf_counter()
@@ -198,9 +217,14 @@ def main():
             deps = np.einsum("cqik,ck->cqi", B,
                              np.concatenate([Du, [0.0]])[dof]).reshape(-1, 4)
             tk = time.perf_counter()
-            C_tang, (sigma_flat, _) = jax.block_until_ready(
+            C_tang, (sigma_flat, niter_pt) = jax.block_until_ready(
                 kernel(jnp.asarray(deps), jnp.asarray(sigma_n)))
-            kernel_s += time.perf_counter() - tk
+            tk_done = time.perf_counter()
+            kernel_s += tk_done - tk
+            ni = np.asarray(niter_pt)
+            print(f"    update {its}: kernel {tk_done - tk:6.1f}s "
+                  f"inner_its max={int(ni.max())} mean={float(ni.mean()):.1f}",
+                  file=sys.stderr, flush=True)
             C_tang = np.asarray(C_tang).reshape(nc, nq, 4, 4)
             sig = np.asarray(sigma_flat).reshape(nc, nq, 4)
             r_int = np.zeros(n)
@@ -225,6 +249,16 @@ def main():
             factor_s += time.perf_counter() - tk
             Du = Du + dx
             its += 1
+            if budget_s is not None and time.perf_counter() - t0 > budget_s:
+                budget_hit = True
+                print(f"    budget {budget_s:.0f}s exhausted MID-step after "
+                      f"update {its}; abandoning this step",
+                      file=sys.stderr, flush=True)
+                break
+        if budget_hit and not step_converged:
+            # the abandoned step contributes neither a converged step nor
+            # a collapse verdict — record the prefix and stop
+            break
         newton_per_step.append(its)
         converged_per_step.append(step_converged)
         step_wall.append(time.perf_counter() - t_step)
@@ -233,6 +267,17 @@ def main():
               f"newton={its} converged={step_converged} "
               f"|r|={norm:.3e} t={time.perf_counter() - t0:.1f}s",
               file=sys.stderr, flush=True)
+        if out_path:  # incremental prefix record (kill/budget-safe)
+            _write(out_path, _build_rec(
+                nx, n, nc, nq, full_schedule, newton_per_step,
+                converged_per_step, step_wall, kernel_s, factor_s,
+                collapse, budget_hit, time.perf_counter() - t0))
+        if budget_s is not None and time.perf_counter() - t0 > budget_s:
+            budget_hit = True
+            print(f"  proxy: wall budget {budget_s:.0f}s exhausted after "
+                  f"step {len(newton_per_step) - 1}; recording prefix",
+                  file=sys.stderr, flush=True)
+            break
         if not step_converged:
             # stop exactly as scripts/bench_scaling_full.py does: a
             # non-converged step near the limit load is the collapse
@@ -243,7 +288,18 @@ def main():
                                   f"target {max(atol, rtol * norm0):.3e}"}
             break
     wall = time.perf_counter() - t0
+    rec = _build_rec(nx, n, nc, nq, full_schedule, newton_per_step,
+                     converged_per_step, step_wall, kernel_s, factor_s,
+                     collapse, budget_hit, wall)
+    line = json.dumps(rec)
+    print(line)
+    if out_path:
+        _write(out_path, rec)
 
+
+def _build_rec(nx, n, nc, nq, full_schedule, newton_per_step,
+               converged_per_step, step_wall, kernel_s, factor_s,
+               collapse, budget_hit, wall):
     # per-step wall over CONVERGED steps only: a collapse step burns its
     # full 100-update budget and would inflate the 50x-ratio denominator
     conv = np.asarray(converged_per_step, dtype=bool)
@@ -257,16 +313,26 @@ def main():
         "wall_s": round(conv_wall, 2),
         "wall_s_incl_collapse": round(wall, 2),
         "per_step_s": round(conv_wall / max(n_conv, 1), 4),
-        "newton_total": int(np.sum(newton_per_step)),
+        "newton_total": int(np.sum(newton_per_step)) if newton_per_step else 0,
         "newton_per_step": [int(x) for x in newton_per_step],
+        "step_s": [round(float(x), 2) for x in step_wall],
         "kernel_share_s": round(kernel_s, 2),
         "factor_solve_share_s": round(factor_s, 2),
         "algorithm": ("f64 jacfwd return-mapping kernel + per-Newton sparse "
                       "SuperLU (MUMPS stand-in), reference demo :469-672"),
     }
+    if budget_hit:
+        rec["budget_exhausted"] = True
     if collapse is not None:
         rec["collapse"] = collapse
-    print(json.dumps(rec))
+    return rec
+
+
+def _write(path, rec):
+    tmp = path + ".tmp"
+    with open(tmp, "w") as fh:
+        fh.write(json.dumps(rec) + "\n")
+    os.replace(tmp, path)
 
 
 if __name__ == "__main__":

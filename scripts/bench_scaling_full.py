@@ -14,6 +14,14 @@ backends (the identical-iteration-counts clause of BASELINE.json).
 Usage:
   python scripts/bench_scaling_full.py [NX] [N_STEPS] [--cpu] [--out PATH]
                                        [--solver mg|bcr|dense]
+                                       [--driver host|fused]
+
+``--driver fused`` runs the WHOLE Newton loop of each load step as one
+device execution (``run_step``) instead of one Newton per execution —
+viable when per-step device time stays under the TPU tunnel's ~60 s
+execution kill (BCR/dense solves; NOT the mg path at 100x100+, whose
+per-step CG work exceeds it).  Newton trajectories are identical by
+construction (same compiled body, ``max_it`` budget instead of 1).
 
 Prints one JSON line (per-step times, per-step Newton counts, totals);
 ``--out`` additionally writes it to PATH for committing under
@@ -48,6 +56,10 @@ def main():
     solver = "mg"
     if "--solver" in sys.argv:
         solver = sys.argv[sys.argv.index("--solver") + 1]
+    driver = "host"
+    if "--driver" in sys.argv:
+        driver = sys.argv[sys.argv.index("--driver") + 1]
+        assert driver in ("host", "fused")
 
     from dolfinx_external_operator_tpu import locate_dofs_geometrical
     from dolfinx_external_operator_tpu.models.mohr_coulomb import (
@@ -74,8 +86,21 @@ def main():
     full_schedule = np.concatenate([np.linspace(2, 22.9, 50),
                                     np.array([22.96, 22.99])])[:n_steps]
 
-    def step(Du, sig, load):
-        return fp.run_step_host(Du, sig, load, forcing=False)
+    if driver == "fused":
+        def step(Du, sig, load):
+            Du, sig, norm, its, cg = fp.run_step(Du, sig, load)
+            its = int(its)
+            if its >= fp.newton_max_it:
+                # the fused loop exhausted its update budget without the
+                # convergence flag — same stagnation condition the host
+                # driver reports
+                raise RuntimeError(
+                    f"fused Newton failed to converge within "
+                    f"{fp.newton_max_it} updates (|r| = {float(norm):.3e})")
+            return Du, sig, norm, its, cg
+    else:
+        def step(Du, sig, load):
+            return fp.run_step_host(Du, sig, load, forcing=False)
 
     Du, sig = fp.zero_state()
     w = step(Du, sig, float(full_schedule[0]))  # warmup/compile
@@ -125,7 +150,9 @@ def main():
         "steps_scheduled": len(full_schedule),
         "backend": "cpu" if "--cpu" in sys.argv else str(device),
         "solver": solver,
-        "driver": "host (1 Newton/execution), EW forcing OFF, cg_rtol=%g"
+        "driver": ("fused (1 load step/execution), EW forcing OFF, cg_rtol=%g"
+                   if driver == "fused" else
+                   "host (1 Newton/execution), EW forcing OFF, cg_rtol=%g")
                   % fp.cg_rtol,
         "wall_s": round(wall, 2),
         "per_step_s": round(wall / max(n_conv, 1), 4),
