@@ -14,7 +14,8 @@ backends (the identical-iteration-counts clause of BASELINE.json).
 Usage:
   python scripts/bench_scaling_full.py [NX] [N_STEPS] [--cpu] [--out PATH]
                                        [--solver mg|bcr|dense]
-                                       [--driver host|fused]
+                                       [--driver host|fused|schedule]
+                                       [--chunk N]
 
 ``--driver fused`` runs the WHOLE Newton loop of each load step as one
 device execution (``run_step``) instead of one Newton per execution —
@@ -22,6 +23,15 @@ viable when per-step device time stays under the TPU tunnel's ~60 s
 execution kill (BCR/dense solves; NOT the mg path at 100x100+, whose
 per-step CG work exceeds it).  Newton trajectories are identical by
 construction (same compiled body, ``max_it`` budget instead of 1).
+
+``--driver schedule`` goes one further: ``--chunk N`` load steps per
+device execution (``run_schedule``'s ``lax.scan``).  This is the only
+driver whose per-step cost is not floored by the TPU tunnel's ~80 ms
+per-execution round trip (the measured 25x25 floor, round 5) — at small
+meshes the whole 52-step schedule is a handful of executions.  Only for
+sizes where EVERY scheduled step converges: the scan cannot stop at a
+collapse step, so the record is rejected if any step exhausts its Newton
+budget (use fused/host at sizes with a collapse step).
 
 Prints one JSON line (per-step times, per-step Newton counts, totals);
 ``--out`` additionally writes it to PATH for committing under
@@ -59,7 +69,10 @@ def main():
     driver = "host"
     if "--driver" in sys.argv:
         driver = sys.argv[sys.argv.index("--driver") + 1]
-        assert driver in ("host", "fused")
+        assert driver in ("host", "fused", "schedule")
+    chunk = 13  # 52 = 4 x 13: equal chunks -> one compiled program
+    if "--chunk" in sys.argv:
+        chunk = int(sys.argv[sys.argv.index("--chunk") + 1])
 
     from dolfinx_external_operator_tpu import locate_dofs_geometrical
     from dolfinx_external_operator_tpu.models.mohr_coulomb import (
@@ -101,6 +114,60 @@ def main():
     else:
         def step(Du, sig, load):
             return fp.run_step_host(Du, sig, load, forcing=False)
+
+    if driver == "schedule":
+        chunks = [full_schedule[i:i + chunk]
+                  for i in range(0, len(full_schedule), chunk)]
+        Du, sig = fp.zero_state()
+        w = fp.run_schedule(chunks[0], Du, sig)  # warmup/compile
+        jax.block_until_ready(w[:2])
+
+        Du, sig = fp.zero_state()
+        norms_all, its_all, cgs_all = [], [], []
+        t0 = time.perf_counter()
+        for loads in chunks:
+            Du, sig, norms, its, cgs = fp.run_schedule(loads, Du, sig)
+            norms_all.append(norms)
+            its_all.append(its)
+            cgs_all.append(cgs)
+        jax.block_until_ready((Du, sig))
+        wall = time.perf_counter() - t0
+        its_np = np.concatenate([np.asarray(x) for x in its_all])
+        cgs_np = np.concatenate([np.asarray(x) for x in cgs_all])
+        norms_np = np.concatenate([np.asarray(x) for x in norms_all])
+        bad = np.nonzero(its_np >= fp.newton_max_it)[0]
+        if bad.size:
+            # the scan ran straight through a non-converged step, so every
+            # iterate after it is off-trajectory — refuse to record
+            raise SystemExit(
+                f"schedule driver: step {int(bad[0])} exhausted the Newton "
+                f"budget ({fp.newton_max_it}); state past it is invalid. "
+                f"Use --driver fused/host at this size.")
+        rec = {
+            "metric": "slope_stability_full_schedule_parity",
+            "mesh": f"{nx}x{nx}", "n_dofs": fp.n_dofs,
+            "gauss_points": fp.nc * fp.nq,
+            "steps": len(full_schedule),
+            "steps_scheduled": len(full_schedule),
+            "backend": "cpu" if "--cpu" in sys.argv else str(device),
+            "solver": solver,
+            "driver": (f"schedule ({chunk} load steps/execution via "
+                       f"lax.scan), EW forcing OFF, cg_rtol=%g" % fp.cg_rtol),
+            "wall_s": round(wall, 2),
+            "per_step_s": round(wall / len(full_schedule), 4),
+            "newton_total": int(its_np.sum()),
+            "cg_total": int(cgs_np.sum()),
+            "cg_per_step": round(float(cgs_np.sum()) / len(full_schedule), 1),
+            "newton_per_step": [int(x) for x in its_np],
+            "final_residual": float(norms_np[-1]),
+            "Du_norm": float(np.linalg.norm(np.asarray(Du))),
+        }
+        line = json.dumps(rec)
+        print(line)
+        if out_path:
+            with open(out_path, "w") as fh:
+                fh.write(line + "\n")
+        return
 
     Du, sig = fp.zero_state()
     w = step(Du, sig, float(full_schedule[0]))  # warmup/compile
@@ -160,6 +227,7 @@ def main():
         "cg_total": int(np.sum(cg_per_step)),
         "cg_per_step": round(float(np.sum(cg_per_step)) / max(n_conv, 1), 1),
         "newton_per_step": newton_per_step,
+        "step_s": [round(float(x), 3) for x in step_s],
         "final_residual": float(norm),
         "Du_norm": float(np.linalg.norm(np.asarray(Du))),
     }
