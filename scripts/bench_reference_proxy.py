@@ -32,7 +32,18 @@ apples-to-apples "vs the reference algorithm on this CPU" number.
 
 Usage: python scripts/bench_reference_proxy.py [NX] [N_STEPS]
                 [--out PATH] [--budget SECONDS]
+                [--warm-start STATE.npz --start-step K]
 Prints one JSON line with per-step timings and Newton counts.
+
+``--warm-start``/``--start-step`` resume the load schedule at step K from
+a saved ``(Du, sigma_n)`` state (``scripts/bench_scaling_full.py
+--dump-state`` writes one).  This answers the round-4 collapse question
+directly: does the reference's OWN algorithm converge the 100x100 step 49
+(load 22.9) that both tuned legs report as collapse — without paying the
+~35 s/step x 49 steps it would take to get there from scratch.  The
+warm-start state comes from the tuned pipeline, whose Newton trajectory
+matches the proxy's (identical mathematics, parity-checked at 25x25), so
+the handoff state is the proxy's own up to solver roundoff.
 
 ``--out`` writes the record INCREMENTALLY after every converged step (a
 multi-hour 100x100 run that hits the budget or is killed still leaves a
@@ -144,6 +155,11 @@ def main():
     budget_s = None
     if "--budget" in sys.argv:
         budget_s = float(sys.argv[sys.argv.index("--budget") + 1])
+    warm_path = None
+    start_step = 0
+    if "--warm-start" in sys.argv:
+        warm_path = sys.argv[sys.argv.index("--warm-start") + 1]
+        start_step = int(sys.argv[sys.argv.index("--start-step") + 1])
 
     from dolfinx_external_operator_tpu import locate_dofs_geometrical
     from dolfinx_external_operator_tpu.models.mohr_coulomb import (
@@ -193,6 +209,13 @@ def main():
     # exactly singular").  The reference demo relies on the same effect.
     Du = np.ones(n)
     sigma_n = np.zeros((nc * nq, 4))
+    if warm_path is not None:
+        st_in = np.load(warm_path)
+        assert st_in["Du"].shape == (n,) and int(st_in["step"]) == start_step
+        Du = np.asarray(st_in["Du"], np.float64)
+        # tuned-pipeline sig is (nc_pad, nq, 4); drop padding cells
+        sigma_n = np.asarray(st_in["sig"], np.float64)[:nc].reshape(nc * nq, 4)
+        full_schedule = full_schedule[start_step:]
     newton_per_step = []
     converged_per_step = []
     collapse = None
@@ -268,10 +291,15 @@ def main():
               f"|r|={norm:.3e} t={time.perf_counter() - t0:.1f}s",
               file=sys.stderr, flush=True)
         if out_path:  # incremental prefix record (kill/budget-safe)
-            _write(out_path, _build_rec(
+            rec_i = _build_rec(
                 nx, n, nc, nq, full_schedule, newton_per_step,
                 converged_per_step, step_wall, kernel_s, factor_s,
-                collapse, budget_hit, time.perf_counter() - t0))
+                collapse, budget_hit, time.perf_counter() - t0)
+            if warm_path is not None:
+                rec_i["metric"] += "_warmstart"
+                rec_i["warm_start"] = {"path": warm_path,
+                                       "start_step": start_step}
+            _write(out_path, rec_i)
         if budget_s is not None and time.perf_counter() - t0 > budget_s:
             budget_hit = True
             print(f"  proxy: wall budget {budget_s:.0f}s exhausted after "
@@ -291,6 +319,9 @@ def main():
     rec = _build_rec(nx, n, nc, nq, full_schedule, newton_per_step,
                      converged_per_step, step_wall, kernel_s, factor_s,
                      collapse, budget_hit, wall)
+    if warm_path is not None:
+        rec["metric"] += "_warmstart"
+        rec["warm_start"] = {"path": warm_path, "start_step": start_step}
     line = json.dumps(rec)
     print(line)
     if out_path:

@@ -73,6 +73,14 @@ def main():
     chunk = 13  # 52 = 4 x 13: equal chunks -> one compiled program
     if "--chunk" in sys.argv:
         chunk = int(sys.argv[sys.argv.index("--chunk") + 1])
+    # --dump-state PATH --dump-after-step K: save (Du, sig) right after
+    # step index K converges, as the warm-start handoff for
+    # bench_reference_proxy.py --warm-start (the collapse question)
+    dump_path = None
+    dump_after = -1
+    if "--dump-state" in sys.argv:
+        dump_path = sys.argv[sys.argv.index("--dump-state") + 1]
+        dump_after = int(sys.argv[sys.argv.index("--dump-after-step") + 1])
 
     from dolfinx_external_operator_tpu import locate_dofs_geometrical
     from dolfinx_external_operator_tpu.models.mohr_coulomb import (
@@ -206,6 +214,11 @@ def main():
         print(f"  step {i:2d}: load={load:6.2f} newton={int(its)} "
               f"cg={int(cg)} norm={float(norm):.2e} t={step_s[-1]:.2f}s",
               file=sys.stderr, flush=True)
+        if dump_path is not None and i == dump_after:
+            np.savez(dump_path, Du=np.asarray(Du, np.float64),
+                     sig=np.asarray(sig, np.float64), step=i + 1)
+            print(f"  state after step {i} -> {dump_path}",
+                  file=sys.stderr, flush=True)
     wall = time.perf_counter() - t0
 
     n_conv = len(newton_per_step)
