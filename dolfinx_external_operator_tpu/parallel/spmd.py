@@ -729,22 +729,36 @@ class FusedPlasticityStep:
             exact element-blocked operator.  The TPU-native analog of the
             reference's per-Newton MUMPS-LU."""
             from . import bcr as _bcr
-            from . import mg as _mg
 
             mask = st["bc_mask"]
             dof = st["dofmap"]
             keep_ext = jnp.concatenate([~mask, jnp.zeros(1, bool)])
-            km = keep_ext[dof].astype(_F)
-            K_cell = jnp.einsum("cqik,cqij,cqjl,cq->ckl",
-                                st["B"], C_tang, st["B"], st["wdet"])
-            K_cell = K_cell * km[:, :, None] * km[:, None, :]
-            mv64 = _mg.ebe_matvec(K_cell, dof, mask, n_dofs, psum,
-                                  mode="node", bs=self.V.bs)
+            km32 = keep_ext[dof].astype(jnp.float32)
+            # element stiffness in PURE f32: it only feeds the f32
+            # factorization, so f64 assembly (emulated, ~5-10x per op) was
+            # wasted work — the dense path reasons the same way.  The
+            # refinement operator below never touches K_cell: it re-applies
+            # the tangent CHAIN (B^T C_tang B) in f64, which costs ~8x
+            # fewer f64 MACs per solve than building the f64 element
+            # blocks once (profiled r5: kcell 3.0 ms of the 18.7 ms
+            # 25x25 bcr_solve).
+            K_cell32 = jnp.einsum("cqik,cqij,cqjl,cq->ckl",
+                                  st["B"].astype(jnp.float32),
+                                  C_tang.astype(jnp.float32),
+                                  st["B"].astype(jnp.float32),
+                                  st["wdet"].astype(jnp.float32))
+            K_cell32 = K_cell32 * km32[:, :, None] * km32[:, None, :]
+
+            def mv64(x):
+                # exact f64 operator with the identity-bc-row invariant of
+                # mg.ebe_matvec (same masking as the cg path's mv)
+                y = tangent_matvec(st, C_tang, jnp.where(mask, 0.0, x), psum)
+                return jnp.where(mask, x, y)
 
             m, Bb, n_lat, sentinel = self._bcr_plan
             bc = st["bcr"]
             Tflat = psum(jax.ops.segment_sum(
-                K_cell.astype(jnp.float32).reshape(K_cell.shape[0], -1).ravel(),
+                K_cell32.reshape(K_cell32.shape[0], -1).ravel(),
                 bc["dst"].ravel(), num_segments=sentinel + 1)[:-1])
             Tflat = Tflat.at[bc["diag_fix"]].add(1.0)
             T, d = _bcr.equilibrate(Tflat, bc["diag_slot"], m, Bb)
