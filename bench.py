@@ -272,6 +272,20 @@ def _compact(record):
                     cf[pk] = f[pk]
             if cf:
                 c[f"full_{size}"] = cf
+    coll = record.get("collapse_100x100")
+    if isinstance(coll, dict):
+        cc = {}
+        tr = coll.get("tuned_retry")
+        if isinstance(tr, dict):
+            cc["tuned_retry_52of52"] = bool(tr.get("completed_schedule"))
+        ws = coll.get("reference_alg_warmstart")
+        if isinstance(ws, dict):
+            # proxy record: converged steps counted from the resume point
+            cc["ref_alg_s49_steps_converged"] = ws.get("steps")
+            if ws.get("collapse"):
+                cc["ref_alg_collapse"] = True
+        if cc:
+            c["collapse_100x100"] = cc
     sc = record.get("scaling")
     if isinstance(sc, dict):
         c["scaling"] = {}
@@ -345,6 +359,21 @@ def _load_committed_records(record, records_dir):
             full[leg] = r
         except (OSError, KeyError, ValueError) as e:
             _log(f"bench: no committed 100x100 full-schedule {leg} record ({e})")
+
+    # round-5 collapse resolution (verdict r4 #4): raised-budget retry of
+    # the 49/52 stop + the reference-algorithm warm-start at the same state
+    coll = {}
+    for key, fname in (("tuned_retry", "collapse_step49_retry.json"),
+                       ("reference_alg_warmstart",
+                        "reference_proxy_100x100_warmstart_s49.json")):
+        p = os.path.join(records_dir, fname)
+        try:
+            with open(p) as fh:
+                coll[key] = json.load(fh)
+        except OSError:
+            pass
+    if coll:
+        record["collapse_100x100"] = coll
     p = os.path.join(records_dir, "reference_proxy_100x100.json")
     try:
         with open(p) as fh:
@@ -409,6 +438,39 @@ def _load_committed_records(record, records_dir):
                     full["cpu"].get("collapse", {}).get("step"))
         entry["source"] = "committed records (scripts/bench_scaling_full.py)"
         record["scaling_100x100_full"] = entry
+
+    # 200x200 committed full-schedule legs (verdict r4 #6)
+    f200 = {}
+    for leg in ("tpu", "tpu_bcr", "cpu"):
+        p = os.path.join(records_dir, f"scaling_200x200_full_{leg}.json")
+        try:
+            with open(p) as fh:
+                r = json.load(fh)
+            if r.get("mesh") != "200x200":
+                raise ValueError(f"mesh={r.get('mesh')} (want 200x200)")
+            f200[leg] = r
+        except OSError:
+            pass
+        except (KeyError, ValueError) as e:
+            _log(f"bench: bad 200x200 {leg} record ({e})")
+    if f200:
+        entry = {leg: {k: r[k] for k in ("steps", "steps_scheduled",
+                                         "per_step_s", "newton_total",
+                                         "cg_per_step", "backend", "solver",
+                                         "driver", "collapse",
+                                         "budget_exhausted")
+                       if k in r} for leg, r in f200.items()}
+        best = f200.get("tpu_bcr") or f200.get("tpu")
+        if best and "cpu" in f200:
+            n = min(int(best["steps"]), int(f200["cpu"]["steps"]))
+            entry["tpu_vs_cpu"] = round(f200["cpu"]["per_step_s"] /
+                                        best["per_step_s"], 2)
+            entry["newton_parity"] = (
+                best.get("newton_per_step", [])[:n] ==
+                f200["cpu"].get("newton_per_step", [])[:n] and n > 0)
+            entry["parity_steps"] = n
+        entry["source"] = "committed records (scripts/bench_scaling_full.py)"
+        record["scaling_200x200_full"] = entry
     return out
 
 
