@@ -254,6 +254,13 @@ def _compact(record):
     proxy = record.get("e2e_cpu_reference_algorithm")
     if isinstance(proxy, dict) and "per_step_s" in proxy:
         c["ref_alg_cpu_25x25_s_step"] = proxy["per_step_s"]
+    sched = record.get("e2e_25x25_schedule_driver")
+    if isinstance(sched, dict) and "per_step_s" in sched:
+        c["e2e_25x25_sched"] = {"s_step": sched["per_step_s"],
+                                "newton": sched.get("newton_total")}
+        if record.get("e2e_schedule_vs_reference_algorithm") is not None:
+            c["e2e_25x25_sched"]["vs_ref_alg"] = \
+                record["e2e_schedule_vs_reference_algorithm"]
     for rk, ck in (("e2e_cpu_same_pipeline", "cpu_same_pipeline_25x25"),):
         lg = leg(record.get(rk))
         if lg:
@@ -359,6 +366,25 @@ def _load_committed_records(record, records_dir):
             full[leg] = r
         except (OSError, KeyError, ValueError) as e:
             _log(f"bench: no committed 100x100 full-schedule {leg} record ({e})")
+
+    # round-5 schedule-driver 25x25 record (verdict r4 #3): multiple load
+    # steps per device execution via lax.scan — the committed best-latency
+    # leg at the reference's own problem size
+    p = os.path.join(records_dir, "scaling_25x25_full_tpu_bcr_schedule.json")
+    try:
+        with open(p) as fh:
+            r = json.load(fh)
+        if r.get("mesh") != "25x25" or r.get("steps") != 52:
+            raise ValueError(f"mesh={r.get('mesh')} steps={r.get('steps')}")
+        record["e2e_25x25_schedule_driver"] = r
+        proxy25 = out.get("proxy")
+        if proxy25 and proxy25.get("per_step_s"):
+            record["e2e_schedule_vs_reference_algorithm"] = round(
+                proxy25["per_step_s"] / r["per_step_s"], 1)
+    except OSError:
+        pass
+    except (KeyError, ValueError) as e:
+        _log(f"bench: bad 25x25 schedule record ({e})")
 
     # round-5 collapse resolution (verdict r4 #4): raised-budget retry of
     # the 49/52 stop + the reference-algorithm warm-start at the same state
