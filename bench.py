@@ -390,6 +390,8 @@ def _load_committed_records(record, records_dir):
     # the 49/52 stop + the reference-algorithm warm-start at the same state
     coll = {}
     for key, fname in (("tuned_retry", "collapse_step49_retry.json"),
+                       ("tuned_retry_50x50",
+                        "collapse_step49_retry_50x50.json"),
                        ("reference_alg_warmstart",
                         "reference_proxy_100x100_warmstart_s49.json")):
         p = os.path.join(records_dir, fname)
