@@ -508,12 +508,6 @@ def main():
 
     import jax
 
-    accel, cpu, tpu_note = _init_devices()
-
-    from dolfinx_external_operator_tpu.models.mohr_coulomb import MohrCoulombMaterial
-
-    mat = MohrCoulombMaterial()
-
     record = {
         "metric": "mohr_coulomb_return_map_throughput",
         "value": 0, "unit": "gauss_pts_per_sec", "vs_baseline": 0,
@@ -523,7 +517,6 @@ def main():
             "on host CPU (e2e_cpu_same_pipeline) and the reference's own "
             "algorithm, f64 jacfwd + sparse direct LU "
             "(e2e_cpu_reference_algorithm)"),
-        **({"tpu_unavailable": tpu_note} if tpu_note else {}),
     }
 
     full_record_path = os.path.join(
@@ -554,6 +547,24 @@ def main():
     watchdog.daemon = True
     watchdog.start()
 
+    # ---- section 0: committed baseline records ------------------------------
+    # Loaded FIRST (no device needed): if the TPU tunnel hangs anywhere
+    # below — including jax.devices() itself, observed twice in round 5
+    # with in-flight compiles blocked 30+ min — the watchdog's partial
+    # record still carries every committed headline ratio.
+    records_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                               "docs", "records")
+    _load_committed_records(record, records_dir)
+    emit()
+
+    accel, cpu, tpu_note = _init_devices()
+    if tpu_note:
+        record["tpu_unavailable"] = tpu_note
+
+    from dolfinx_external_operator_tpu.models.mohr_coulomb import MohrCoulombMaterial
+
+    mat = MohrCoulombMaterial()
+
     # ---- section 1: kernel throughput (TPU + CPU) --------------------------
     n_points = 1 << 16  # 65536 Gauss points
     _log("bench: TPU kernel throughput (difficulty-sorted chunked)...")
@@ -566,12 +577,6 @@ def main():
         "vs_baseline": round(tpu_pps / cpu_pps, 2),
         "cpu_baseline_pts_per_sec": round(cpu_pps, 1),
     })
-    emit()
-
-    # ---- section 2: committed baseline records ------------------------------
-    records_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                               "docs", "records")
-    _load_committed_records(record, records_dir)
     emit()
 
     # ---- section 3: e2e 25x25 on TPU ----------------------------------------
